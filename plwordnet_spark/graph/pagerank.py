@@ -1,0 +1,145 @@
+"""PageRank as a Pregel-style gather-scatter DataFrame job.
+
+Semantics match ``networkx.pagerank`` (the reference's own graph library,
+db_to_nx.py imports networkx) so the golden tests can assert
+``allclose(1e-6)`` per vertex (north rule):
+
+* power iteration on the out-weight-normalized stochastic matrix,
+* damping ``alpha`` (default 0.85), uniform teleport,
+* dangling mass redistributed uniformly,
+* convergence when ``sum(|r_t − r_{t−1}|) < n_nodes · tol``.
+
+Scale design:
+
+* the edge table is augmented ONCE with the scatter share
+  ``weight / out_weight(src)`` and hash-partitioned by ``src``, then
+  cached — per iteration the only shuffles are the rank join on ``src``
+  and the gather ``groupBy(dst)``; map-side partial aggregation absorbs
+  hub in-degree skew, and the optional salted two-phase gather splits
+  hot dst keys explicitly (north rule),
+* ranks is the only mutable state: ``(id, rank)``, one row per node,
+* driver sees two scalars per iteration (dangling mass, L1 delta) —
+  everything else stays distributed; lineage is truncated by the
+  PregelRunner.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from plwordnet_spark.graph.pregel import PregelRunner, PregelResult
+
+__all__ = ["pagerank"]
+
+
+def pagerank(
+    spark: SparkSession,
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    alpha: float = 0.85,
+    tol: float = 1e-6,
+    max_iterations: int = 100,
+    weighted: bool = True,
+    checkpoint_dir: str | None = None,
+    checkpoint_interval: int = 5,
+    salted_gather: bool = False,
+    n_salts: int = 16,
+    initial_ranks: DataFrame | None = None,
+    start_iteration: int = 0,
+) -> PregelResult:
+    """edges(src, dst[, weight[, salt]]) → ranks(id, rank) summing to 1.
+
+    ``nodes``: optional (id, …) universe; defaults to ids appearing in
+    edges. ``salted_gather``: two-phase aggregation splitting each dst
+    key into ``salt`` sub-keys before the final combine — explicit skew
+    handling for hub vertices beyond AQE.
+    """
+    weight_col = F.col("weight") if weighted and "weight" in edges.columns else F.lit(1.0)
+    edge_w = edges.select("src", "dst", weight_col.cast("double").alias("w"))
+
+    if nodes is None:
+        ids = (
+            edge_w.select(F.col("src").alias("id"))
+            .unionByName(edge_w.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+    else:
+        ids = nodes.select("id").distinct()
+    ids = ids.repartition("id").cache()
+    n_nodes = ids.count()
+    if n_nodes == 0:
+        return PregelResult(
+            state=spark.createDataFrame([], "id long, rank double"),
+            iterations=0,
+            converged=True,
+        )
+
+    out_w = edge_w.groupBy(F.col("src").alias("id")).agg(F.sum("w").alias("out_w"))
+    # scatter share precomputed once; partitioned by src for the per-
+    # iteration rank join (no re-exchange of the big table per step)
+    scatter = (
+        edge_w.join(out_w.withColumnRenamed("id", "src"), "src")
+        .select("src", "dst", (F.col("w") / F.col("out_w")).alias("share"))
+        .repartition("src")
+        .cache()
+    )
+    scatter.count()  # materialize before the loop
+
+    dangling = ids.join(out_w, "id", "left_anti").cache()  # no out-edges
+
+    # resume path: seed from a checkpointed (id, rank) state instead of
+    # the uniform vector (north rule: resumable from checkpoint)
+    if initial_ranks is not None:
+        init = initial_ranks.select("id", "rank")
+    else:
+        init = ids.select("id", F.lit(1.0 / n_nodes).alias("rank"))
+
+    def step(ranks: DataFrame) -> DataFrame:
+        dangling_mass = (
+            dangling.join(ranks, "id").agg(F.sum("rank")).first()[0] or 0.0
+        )
+        contribs = scatter.join(ranks.withColumnRenamed("id", "src"), "src")
+        if salted_gather:
+            # phase 1: partial sums per (dst, salt) — splits hub keys
+            # across n_salts reducers; phase 2: tiny combine per dst
+            gathered = (
+                contribs.withColumn(
+                    "salt", F.pmod(F.xxhash64("src"), F.lit(n_salts))
+                )
+                .groupBy("dst", "salt")
+                .agg(F.sum(F.col("rank") * F.col("share")).alias("partial"))
+                .groupBy("dst")
+                .agg(F.sum("partial").alias("incoming"))
+            )
+        else:
+            gathered = contribs.groupBy("dst").agg(
+                F.sum(F.col("rank") * F.col("share")).alias("incoming")
+            )
+        base = (1.0 - alpha) / n_nodes + alpha * dangling_mass / n_nodes
+        return (
+            ids.join(gathered.withColumnRenamed("dst", "id"), "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit(base) + F.lit(alpha) * F.coalesce(F.col("incoming"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+
+    def l1_delta(old: DataFrame, new: DataFrame) -> float:
+        joined = old.withColumnRenamed("rank", "r0").join(new, "id")
+        return float(joined.agg(F.sum(F.abs(F.col("rank") - F.col("r0")))).first()[0])
+
+    runner = PregelRunner(
+        spark,
+        max_iterations=max_iterations,
+        tol=n_nodes * tol,
+        checkpoint_dir=checkpoint_dir,
+        checkpoint_interval=checkpoint_interval,
+    )
+    result = runner.run(init, step, l1_delta, start_iteration=start_iteration)
+    scatter.unpersist()
+    dangling.unpersist()
+    ids.unpersist()
+    return result
