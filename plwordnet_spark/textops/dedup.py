@@ -1,0 +1,274 @@
+"""Document deduplication: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+The reference deduplicates by exact pair-key sets held in Python dicts
+(embedder-dataset-dedupliactor.py:55-145, A8 unique-text sets); a
+100 TB training-data pipeline needs the full near-dup family. All
+signature computation is JVM-side (xxhash64 + higher-order functions) —
+no Python in any hot path; duplicate *clusters* are closed transitively
+with this engine's own connected-components job, and each cluster keeps
+its minimum id (deterministic canonical representative).
+
+Scale shapes:
+
+* exact: one hash groupBy (min-id per normalized-text hash),
+* MinHash: shingle explode → P min-aggregations (one shuffle) → band
+  explode → bucket self-join (candidates only meet in buckets; hot
+  buckets are capped) → signature-similarity verify → CC,
+* SimHash: per-bit weighted sums over word hashes (64 agg columns, one
+  shuffle), 16-bit band index for candidate generation, bit_count
+  hamming verify,
+* n-gram Jaccard: inverted-index join with a max-document-frequency cap
+  on hot shingles (the classic skew guard for common n-grams).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = [
+    "normalize_text_expr",
+    "exact_dedup",
+    "word_shingles_expr",
+    "minhash_signatures",
+    "minhash_lsh_dedup",
+    "simhash_fingerprints",
+    "simhash_near_dup_pairs",
+    "ngram_jaccard_pairs",
+]
+
+
+def normalize_text_expr(text_col):
+    """Dedup normalization: lowercase, collapse whitespace, trim."""
+    return F.trim(F.regexp_replace(F.lower(text_col), r"\s+", " "))
+
+
+def exact_dedup(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Keep the minimum-id document per normalized text (deterministic
+    first-of-group, reference A9 semantics)."""
+    keyed = docs.withColumn("_k", F.xxhash64(normalize_text_expr(F.col(text_col))))
+    keep = keyed.groupBy("_k").agg(F.min(id_col).alias(id_col))
+    return keyed.join(keep, ["_k", id_col], "left_semi").drop("_k")
+
+
+def word_shingles_expr(text_col, n: int = 3):
+    """array of word n-grams (distinct), via sequence+slice — JVM-only."""
+    words = F.split(normalize_text_expr(text_col), " ")
+    ngrams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+    )
+    return F.array_distinct(F.filter(ngrams, lambda s: F.length(s) > 0))
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 32,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, h0..h{P-1}) MinHash signature: min over shingles of P seeded
+    xxhash64 values — P min-aggregations in a single groupBy."""
+    shingled = docs.select(
+        F.col(id_col), F.explode(word_shingles_expr(F.col(text_col), shingle_n)).alias("sh")
+    )
+    aggs = [
+        F.min(F.xxhash64("sh", F.lit(p))).alias(f"h{p}") for p in range(n_hashes)
+    ]
+    return shingled.groupBy(id_col).agg(*aggs)
+
+
+def _band_table(sig: DataFrame, id_col: str, n_hashes: int, n_bands: int) -> DataFrame:
+    rows = n_hashes // n_bands
+    bands = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(*[f"h{b * rows + r}" for r in range(rows)]).alias("code"),
+        )
+        for b in range(n_bands)
+    ]
+    return sig.select(
+        id_col, F.explode(F.array(*bands)).alias("_b")
+    ).select(id_col, F.col("_b.band").alias("band"), F.col("_b.code").alias("code"))
+
+
+def minhash_lsh_dedup(
+    spark: SparkSession,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 32,
+    n_bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    max_bucket: int = 1000,
+) -> tuple[DataFrame, DataFrame]:
+    """→ (kept_docs, dup_pairs).
+
+    Candidates share an LSH band bucket; similarity is estimated as the
+    fraction of equal signature components (unbiased Jaccard estimate);
+    pairs ≥ threshold are closed into clusters with connected
+    components; each cluster keeps min(id). Buckets larger than
+    ``max_bucket`` are dropped (boilerplate shingles — the documented
+    skew guard; such docs still pair through their other bands).
+    """
+    sig = minhash_signatures(docs, id_col, text_col, n_hashes, shingle_n).cache()
+    bands = _band_table(sig, id_col, n_hashes, n_bands)
+    sizes = bands.groupBy("band", "code").agg(F.count(F.lit(1)).alias("n"))
+    bands = bands.join(
+        sizes.filter(F.col("n") <= max_bucket).select("band", "code"),
+        ["band", "code"],
+        "left_semi",
+    )
+    a = bands.select("band", "code", F.col(id_col).alias("id_a"))
+    b = bands.select("band", "code", F.col(id_col).alias("id_b"))
+    cand = (
+        a.join(b, ["band", "code"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sig_a = sig.select(*([F.col(id_col).alias("id_a")] + [F.col(f"h{p}").alias(f"a{p}") for p in range(n_hashes)]))
+    sig_b = sig.select(*([F.col(id_col).alias("id_b")] + [F.col(f"h{p}").alias(f"b{p}") for p in range(n_hashes)]))
+    matches = reduce(
+        lambda acc, p: acc + F.when(F.col(f"a{p}") == F.col(f"b{p}"), 1).otherwise(0),
+        range(1, n_hashes),
+        F.when(F.col("a0") == F.col("b0"), 1).otherwise(0),
+    )
+    dup_pairs = (
+        cand.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .withColumn("est_jaccard", matches / F.lit(float(n_hashes)))
+        .filter(F.col("est_jaccard") >= F.lit(threshold))
+        .select("id_a", "id_b", "est_jaccard")
+    )
+    # transitive closure with our own CC job; keep min-id per cluster
+    from plwordnet_spark.graph.components import connected_components
+
+    edges = dup_pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    ids = docs.select(F.col(id_col).alias("id"))
+    assign = connected_components(spark, edges, nodes=ids, method="two-phase").state
+    keep = assign.filter(F.col("id") == F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    kept = docs.join(keep, id_col, "left_semi")
+    sig.unpersist()
+    return kept, dup_pairs
+
+
+def simhash_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bits: int = 64,
+) -> DataFrame:
+    """(id, simhash) — per-bit sign of term-frequency-weighted word-hash
+    bit sums. One explode + one groupBy with n_bits conditional sums."""
+    words = docs.select(
+        F.col(id_col),
+        F.explode(F.split(normalize_text_expr(F.col(text_col)), " ")).alias("w"),
+    ).filter(F.length("w") > 0)
+    counted = words.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("tf"))
+    h = F.xxhash64("w")
+    bit_aggs = [
+        F.sum(
+            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.col("tf")).otherwise(
+                -F.col("tf")
+            )
+        ).alias(f"b{b}")
+        for b in range(n_bits)
+    ]
+    sums = counted.groupBy(id_col).agg(*bit_aggs)
+    fingerprint = reduce(
+        lambda acc, b: acc.bitwiseOR(
+            F.when(F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
+                F.lit(0).cast("long")
+            )
+        ),
+        range(1, n_bits),
+        F.when(F.col("b0") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")),
+    )
+    return sums.select(id_col, fingerprint.alias("simhash"))
+
+
+def simhash_near_dup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """(id_a, id_b, hamming) pairs with distance ≤ max_hamming.
+
+    Candidates match on any of four 16-bit chunks (pigeonhole: distance
+    ≤ 3 guarantees one equal chunk); verify with bit_count(xor)."""
+    fp = simhash_fingerprints(docs, id_col, text_col)
+    chunks = [
+        F.struct(
+            F.lit(c).alias("chunk"),
+            F.shiftright(F.col("simhash"), c * 16).bitwiseAND(F.lit(0xFFFF)).alias("code"),
+        )
+        for c in range(4)
+    ]
+    banded = fp.select(
+        id_col, "simhash", F.explode(F.array(*chunks)).alias("_c")
+    ).select(id_col, "simhash", F.col("_c.chunk").alias("chunk"), F.col("_c.code").alias("code"))
+    a = banded.select("chunk", "code", F.col(id_col).alias("id_a"), F.col("simhash").alias("fa"))
+    b = banded.select("chunk", "code", F.col(id_col).alias("id_b"), F.col("simhash").alias("fb"))
+    return (
+        a.join(b, ["chunk", "code"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= F.lit(max_hamming))
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_df: int = 1000,
+) -> DataFrame:
+    """Exact Jaccard over word n-gram sets via inverted-index self-join.
+
+    Shingles occurring in more than ``max_df`` docs are excluded from
+    candidate generation (hot-key guard) but still count in set sizes,
+    making the reported jaccard a tight lower bound for pathological
+    boilerplate and exact otherwise at test scale.
+    """
+    shingled = docs.select(
+        F.col(id_col),
+        F.explode(word_shingles_expr(F.col(text_col), shingle_n)).alias("sh"),
+    )
+    sizes = shingled.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    df_counts = shingled.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    filtered = shingled.join(
+        df_counts.filter(F.col("df") <= max_df).select("sh"), "sh", "left_semi"
+    )
+    a = filtered.select(F.col(id_col).alias("id_a"), "sh")
+    b = filtered.select(F.col(id_col).alias("id_b"), "sh")
+    common = (
+        a.join(b, "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.col("size_a") + F.col("size_b") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select("id_a", "id_b", "jaccard")
+    )
