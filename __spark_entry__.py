@@ -1,38 +1,555 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: synthesize the pages corpus, build the link
+graph, run PageRank, return top-ranked pages.
+
+``queries()`` / ``oracle_sql()`` — one entry per operator family from
+SURVEY.md §2, runnable at any sf dir; oracle SQL is DuckDB-compatible
+and column-name/type aligned (counts cast to BIGINT, float aggregates
+rounded on both sides so order-insensitive value hashes match).
+
+Graph-iterative ops (PageRank, components, label propagation) are not
+cleanly SQL-expressible; PageRank/labelprop ship rows-only here and are
+golden-tested against oracles in tests/test_algorithms.py. Triangle
+count and connected components DO get SQL oracles (self-join SQL and a
+recursive CTE respectively) over a small deterministic edge table
+derived from TPC-H keys.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+_TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Pages → link graph → PageRank → top pages (runs in ~1 min)."""
+    from plwordnet_spark.corpus import generate_pages
+    from plwordnet_spark.graph.build import build_graph
+    from plwordnet_spark.graph.pagerank import pagerank
 
+    pages = generate_pages(spark, 1000, seed=42)
+    tables = build_graph(pages)
+    result = pagerank(spark, tables.edges, nodes=tables.nodes, tol=1e-6, max_iterations=25)
+    return (
+        result.state.join(tables.nodes.select("id", "url", "domain"), "id")
+        .select("url", "domain", F.round("rank", 8).alias("rank"))
+        .orderBy(F.desc("rank"), "url")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# the shared derived edge table for SQL-oracle graph queries:
+# deterministic small graph from TPC-H keys (same derivation both sides)
+# ---------------------------------------------------------------------------
+
+_EDGE_SQL_DERIVATION = """
+    SELECT DISTINCT
+        CAST(l_orderkey % 211 AS BIGINT) AS src,
+        CAST(l_partkey % 211 AS BIGINT) AS dst
+    FROM lineitem
+    WHERE l_orderkey % 211 <> l_partkey % 211
+"""
+
+
+def _derived_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            (F.col("l_orderkey") % 211).cast("long").alias("src"),
+            (F.col("l_partkey") % 211).cast("long").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # --- scans / filters / projections (S1, S2, P1-P5) ---
+        "q_scan_filter_project": lambda s, d: (
+            _t(s, d, "lineitem")
+            .filter(F.col("l_shipdate") < F.lit("1996-06-01").cast("timestamp"))
+            .select("l_orderkey", "l_linenumber", "l_quantity")
+        ),
+        "q_point_lookup": lambda s, d: (
+            _t(s, d, "orders")
+            .filter(F.col("o_orderkey") == 7)
+            .select("o_orderkey", "o_custkey", "o_orderstatus")
+        ),
+        "q_filter_isin": lambda s, d: (
+            _t(s, d, "customer")
+            .filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+            .select("c_custkey", "c_mktsegment")
+        ),
+        "q_filter_minlen_like": lambda s, d: (
+            _t(s, d, "documents")
+            .filter((F.length("text") >= 200) & F.col("lang").like("e%"))
+            .select("doc_id", "lang", F.length("text").alias("text_len"))
+        ),
+        # --- aggregations (A1, A3, A6, A7) ---
+        "q_group_count": lambda s, d: (
+            _t(s, d, "lineitem")
+            .groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+        ),
+        "q_group_agg_q1": lambda s, d: (
+            _t(s, d, "lineitem")
+            .filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+                F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+                F.count(F.lit(1)).alias("count_order"),
+            )
+        ),
+        "q_smooth_weight": lambda s, d: (
+            _t(s, d, "lineitem")
+            .groupBy("l_partkey")
+            .agg((F.lit(1) + F.count(F.lit(1))).alias("smooth_weight"))
+        ),
+        "q_distinct_count": lambda s, d: (
+            _t(s, d, "orders")
+            .groupBy("o_orderpriority")
+            .agg(F.countDistinct("o_custkey").alias("n_customers"))
+        ),
+        # --- joins (J1, J4, J5, J6) ---
+        "q_broadcast_join": lambda s, d: (
+            _t(s, d, "customer")
+            .join(F.broadcast(_t(s, d, "nation")), F.col("c_nationkey") == F.col("n_nationkey"))
+            .join(F.broadcast(_t(s, d, "region")), F.col("n_regionkey") == F.col("r_regionkey"))
+            .groupBy(F.col("r_name").alias("region_name"))
+            .agg(
+                F.count(F.lit(1)).alias("n_customers"),
+                F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+            )
+        ),
+        "q_multi_join_revenue": lambda s, d: (
+            _t(s, d, "orders")
+            .join(_t(s, d, "customer"), F.col("o_custkey") == F.col("c_custkey"))
+            .join(F.broadcast(_t(s, d, "nation")), F.col("c_nationkey") == F.col("n_nationkey"))
+            .groupBy(F.col("n_name").alias("nation_name"))
+            .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        ),
+        "q_semi_join": lambda s, d: (
+            _t(s, d, "customer")
+            .join(_t(s, d, "orders").select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_semi")
+            .select("c_custkey", "c_name")
+        ),
+        "q_anti_join": lambda s, d: (
+            _t(s, d, "customer")
+            .join(
+                _t(s, d, "orders")
+                .filter(F.col("o_totalprice") > 300000)
+                .select(F.col("o_custkey").alias("c_custkey")),
+                "c_custkey",
+                "left_anti",
+            )
+            .select("c_custkey", "c_name")
+        ),
+        # --- windows (W1, W2, W3, A9) ---
+        "q_window_topk_per_group": lambda s, d: (
+            _t(s, d, "orders")
+            .withColumn(
+                "rank",
+                F.row_number().over(
+                    W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+                ),
+            )
+            .filter(F.col("rank") <= 3)
+            .select("o_custkey", "o_orderkey", "rank")
+        ),
+        "q_first_per_group": lambda s, d: (
+            _t(s, d, "orders")
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+                ),
+            )
+            .filter(F.col("rn") == 1)
+            .select("o_custkey", "o_orderkey", "o_orderdate")
+        ),
+        "q_dense_ids": lambda s, d: (
+            _t(s, d, "nation")
+            .select(
+                "n_name",
+                (F.row_number().over(W.orderBy("n_name")) - 1).alias("aligned_id"),
+            )
+        ),
+        # --- sorts / top-k (O1, O3) ---
+        "q_global_topk": lambda s, d: (
+            _t(s, d, "orders")
+            .orderBy(F.desc("o_totalprice"), "o_orderkey")
+            .limit(10)
+            .select("o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+        ),
+        # --- set ops (U1, U3, U4) ---
+        "q_union_tagged": lambda s, d: (
+            _t(s, d, "customer")
+            .filter(F.col("c_acctbal") > 9000)
+            .select(F.col("c_custkey").alias("key"), F.lit("rich").alias("tag"))
+            .unionByName(
+                _t(s, d, "customer")
+                .filter(F.col("c_acctbal") < -500)
+                .select(F.col("c_custkey").alias("key"), F.lit("debt").alias("tag"))
+            )
+        ),
+        "q_distinct_pairs": lambda s, d: (
+            _t(s, d, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+        ),
+        "q_except": lambda s, d: (
+            _t(s, d, "part")
+            .filter(F.col("p_size") > 25)
+            .select(F.col("p_partkey").alias("key"))
+            .exceptAll(
+                _t(s, d, "part")
+                .filter(F.col("p_retailprice") > 950)
+                .select(F.col("p_partkey").alias("key"))
+            )
+        ),
+        # --- explode / text ops (B5, T-family, dedup, quality) ---
+        "q_word_explode_count": lambda s, d: (
+            _t(s, d, "documents")
+            .select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+            .filter(F.length("word") >= 5)
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") >= 3)
+        ),
+        "q_exact_dedup_keys": lambda s, d: (
+            _t(s, d, "documents")
+            .groupBy(
+                F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")).alias("norm")
+            )
+            .agg(F.min("doc_id").alias("doc_id"))
+            .select("doc_id")
+        ),
+        "q_token_counts": lambda s, d: (
+            _t(s, d, "documents")
+            .select(
+                "doc_id",
+                F.size(
+                    F.filter(
+                        F.split(F.col("text"), r"\s+"), lambda w: F.length(w) > 0
+                    )
+                ).cast("long").alias("n_tokens"),
+            )
+        ),
+        "q_events_hourly": lambda s, d: (
+            _t(s, d, "events")
+            .groupBy(
+                F.date_trunc("hour", F.col("ts")).alias("hour"),
+                "event_type",
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("value"), 2).alias("total_value"),
+            )
+        ),
+        # --- vectors (A4 pooling, W1 top-k) ---
+        "q_mean_pool_by_label": lambda s, d: (
+            _t(s, d, "embeddings")
+            .select("label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x"))
+            .groupBy("label", "pos")
+            .agg(F.round(F.avg("x"), 6).alias("mean_x"))
+        ),
+        "q_cosine_topk": lambda s, d: _q_cosine_topk(s, d),
+        # --- graph with SQL oracles ---
+        "q_triangle_count": lambda s, d: _q_triangle_count(s, d),
+        "q_connected_components": lambda s, d: _q_connected_components(s, d),
+        # --- graph rows-only (iterative; golden-tested in tests/) ---
+        "q_pagerank_top": lambda s, d: _q_pagerank_top(s, d),
+        "q_label_propagation": lambda s, d: _q_label_propagation(s, d),
+        "q_minhash_dup_pairs": lambda s, d: _q_minhash_pairs(s, d),
+        "q_simhash_near_dup": lambda s, d: _q_simhash(s, d),
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
 
+def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from plwordnet_spark.vectors.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    qs = (
+        emb.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    return cosine_topk(emb, qs, k=10).select(
+        "query_id", "vec_id", F.round("sim", 4).alias("sim"), "rank"
+    )
+
+
+def _q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from plwordnet_spark.graph.triangles import triangle_count
+
+    edges = _derived_edges(spark, sf_dir)
+    n = triangle_count(edges)
+    return spark.createDataFrame([(n,)], "n_triangles long")
+
+
+def _q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from plwordnet_spark.graph.components import connected_components
+
+    edges = _derived_edges(spark, sf_dir)
+    res = connected_components(spark, edges, method="two-phase")
+    return res.state.select("id", "component")
+
+
+def _q_pagerank_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from plwordnet_spark.graph.pagerank import pagerank
+
+    edges = _derived_edges(spark, sf_dir)
+    res = pagerank(spark, edges, tol=1e-8, max_iterations=100, weighted=False)
+    return res.state.select("id", F.round("rank", 8).alias("rank"))
+
+
+def _q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from plwordnet_spark.graph.labelprop import label_propagation
+
+    edges = _derived_edges(spark, sf_dir)
+    res = label_propagation(spark, edges, max_iterations=5)
+    return res.state.select("id", "label")
+
+
+def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from plwordnet_spark.textops.dedup import minhash_lsh_dedup
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    _kept, pairs = minhash_lsh_dedup(spark, docs, threshold=0.8)
+    return pairs.select("id_a", "id_b", F.round("est_jaccard", 4).alias("est_jaccard"))
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from plwordnet_spark.textops.dedup import simhash_near_dup_pairs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return simhash_near_dup_pairs(docs, max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB dialect, same column names and rounding)
+# ---------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q_scan_filter_project": """
+            SELECT l_orderkey, l_linenumber, l_quantity
+            FROM lineitem WHERE l_shipdate < TIMESTAMP '1996-06-01'
+        """,
+        "q_point_lookup": """
+            SELECT o_orderkey, o_custkey, o_orderstatus
+            FROM orders WHERE o_orderkey = 7
+        """,
+        "q_filter_isin": """
+            SELECT c_custkey, c_mktsegment FROM customer
+            WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+        """,
+        "q_filter_minlen_like": """
+            SELECT doc_id, lang, CAST(length(text) AS INTEGER) AS text_len
+            FROM documents WHERE length(text) >= 200 AND lang LIKE 'e%'
+        """,
+        "q_group_count": """
+            SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "q_group_agg_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   ROUND(AVG(l_discount), 6) AS avg_disc,
+                   CAST(count(*) AS BIGINT) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q_smooth_weight": """
+            SELECT l_partkey, CAST(1 + count(*) AS BIGINT) AS smooth_weight
+            FROM lineitem GROUP BY l_partkey
+        """,
+        "q_distinct_count": """
+            SELECT o_orderpriority, CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "q_broadcast_join": """
+            SELECT r_name AS region_name,
+                   CAST(count(*) AS BIGINT) AS n_customers,
+                   ROUND(SUM(c_acctbal), 2) AS total_acctbal
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name
+        """,
+        "q_multi_join_revenue": """
+            SELECT n_name AS nation_name, ROUND(SUM(o_totalprice), 2) AS revenue
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "q_semi_join": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        """,
+        "q_anti_join": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN (
+                SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+            )
+        """,
+        "q_window_topk_per_group": """
+            SELECT o_custkey, o_orderkey, rank FROM (
+                SELECT o_custkey, o_orderkey,
+                       CAST(row_number() OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey
+                       ) AS INTEGER) AS rank
+                FROM orders
+            ) WHERE rank <= 3
+        """,
+        "q_first_per_group": """
+            SELECT o_custkey, o_orderkey, o_orderdate FROM (
+                SELECT o_custkey, o_orderkey, o_orderdate,
+                       row_number() OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY o_orderdate, o_orderkey
+                       ) AS rn
+                FROM orders
+            ) WHERE rn = 1
+        """,
+        "q_dense_ids": """
+            SELECT n_name,
+                   CAST(row_number() OVER (ORDER BY n_name) - 1 AS INTEGER) AS aligned_id
+            FROM nation
+        """,
+        "q_global_topk": """
+            SELECT o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice
+            FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+        """,
+        "q_union_tagged": """
+            SELECT c_custkey AS key, 'rich' AS tag FROM customer WHERE c_acctbal > 9000
+            UNION ALL
+            SELECT c_custkey AS key, 'debt' AS tag FROM customer WHERE c_acctbal < -500
+        """,
+        "q_distinct_pairs": """
+            SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        """,
+        "q_except": """
+            SELECT p_partkey AS key FROM part WHERE p_size > 25
+            EXCEPT ALL
+            SELECT p_partkey AS key FROM part WHERE p_retailprice > 950
+        """,
+        "q_word_explode_count": """
+            SELECT word, CAST(count(*) AS BIGINT) AS n FROM (
+                SELECT unnest(string_split(text, ' ')) AS word FROM documents
+            ) WHERE length(word) >= 5
+            GROUP BY word HAVING count(*) >= 3
+        """,
+        "q_exact_dedup_keys": """
+            SELECT MIN(doc_id) AS doc_id FROM documents
+            GROUP BY trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+        """,
+        "q_token_counts": """
+            SELECT doc_id,
+                   CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                        w -> length(w) > 0)) AS BIGINT) AS n_tokens
+            FROM documents
+        """,
+        "q_events_hourly": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   ROUND(SUM(value), 2) AS total_value
+            FROM events GROUP BY 1, 2
+        """,
+        "q_mean_pool_by_label": """
+            SELECT label, CAST(pos AS INTEGER) AS pos,
+                   ROUND(AVG(CAST(x AS DOUBLE)), 6) AS mean_x
+            FROM (
+                SELECT label,
+                       unnest(range(len(embedding))) AS pos,
+                       unnest(embedding) AS x
+                FROM embeddings
+            )
+            GROUP BY 1, 2
+        """,
+        "q_cosine_topk": """
+            WITH q AS (
+                SELECT vec_id AS query_id,
+                       CAST(embedding AS DOUBLE[]) AS qv
+                FROM embeddings WHERE vec_id < 5
+            ),
+            scored AS (
+                SELECT q.query_id, e.vec_id,
+                       list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS s
+                FROM embeddings e CROSS JOIN q
+            ),
+            ranked AS (
+                SELECT query_id, vec_id, s,
+                       CAST(row_number() OVER (
+                           PARTITION BY query_id ORDER BY s DESC, vec_id
+                       ) AS INTEGER) AS rank
+                FROM scored
+            )
+            SELECT query_id, vec_id, ROUND(s, 4) AS sim, rank
+            FROM ranked WHERE rank <= 10
+        """,
+        "q_triangle_count": f"""
+            WITH edges AS ({_EDGE_SQL_DERIVATION}),
+            und AS (
+                SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+                FROM edges
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_triangles
+            FROM und e1
+            JOIN und e2 ON e1.b = e2.a
+            JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+        """,
+        "q_connected_components": f"""
+            WITH RECURSIVE edges AS ({_EDGE_SQL_DERIVATION}),
+            und AS (
+                SELECT src AS u, dst AS v FROM edges
+                UNION
+                SELECT dst AS u, src AS v FROM edges
+            ),
+            ids AS (SELECT DISTINCT u AS id FROM und),
+            reach(id, comp) AS (
+                SELECT id, id FROM ids
+                UNION
+                SELECT und.u, reach.comp
+                FROM reach JOIN und ON reach.id = und.v
+                WHERE reach.comp < und.u
+            )
+            SELECT id, MIN(comp) AS component FROM reach GROUP BY id
+        """,
+        # q_pagerank_top, q_label_propagation, q_minhash_dup_pairs,
+        # q_simhash_near_dup: iterative / hash-seeded — rows-only checks;
+        # golden-tested against oracles in tests/test_algorithms.py and
+        # tests/test_textops.py.
+    }

@@ -1,0 +1,166 @@
+"""Benchmark harness — one JSON line on stdout.
+
+Headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS]:
+
+* flagship: PageRank-to-convergence on the synthetic link graph
+  (corpus → extraction → edge table → power iteration) — the north-rule
+  metric, reported as edges·iterations/sec,
+* connected components (large-star/small-star) on the same edge table,
+* TPC-H-ish scan/agg, multi-join, window top-k on lineitem/orders,
+* MinHash-LSH dedup over documents, exact cosine top-k over embeddings.
+
+Output: {"metric": ..., "value": seconds_total, "unit": "sec",
+"queries": {name: sec}, "sf": ..., "pagerank": {...detail...}}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from plwordnet_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "20000"))
+SEED = 42
+
+
+def main() -> None:
+    spark = get_spark(app_name="plwordnet-spark-bench", master=f"local[{CPUS}]")
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    timings: dict[str, float] = {}
+    detail: dict = {}
+
+    def timed(name: str, fn):
+        start = time.time()
+        out = fn()
+        timings[name] = round(time.time() - start, 3)
+        return out
+
+    # --- flagship: corpus → graph → PageRank to convergence ---
+    from plwordnet_spark.corpus import generate_pages
+    from plwordnet_spark.graph.build import build_graph
+    from plwordnet_spark.graph.components import connected_components
+    from plwordnet_spark.graph.pagerank import pagerank
+
+    pages = generate_pages(spark, N_PAGES, SEED).cache()
+    pages.count()  # corpus generation excluded from graph timings
+
+    def _build():
+        tables = build_graph(pages)
+        tables.edges.cache()
+        n_edges = tables.edges.count()
+        return tables, n_edges
+
+    tables, n_edges = timed("graph_build", _build)
+
+    def _pr():
+        return pagerank(
+            spark, tables.edges, nodes=tables.nodes, tol=1e-6, max_iterations=60
+        )
+
+    pr = timed("pagerank_convergence", _pr)
+    pr_sec = timings["pagerank_convergence"]
+    detail["pagerank"] = {
+        "n_pages": N_PAGES,
+        "n_edges": n_edges,
+        "iterations": pr.iterations,
+        "converged": pr.converged,
+        "edges_per_sec": round(n_edges * pr.iterations / pr_sec, 1),
+        "cpus": CPUS,
+    }
+
+    timed(
+        "connected_components",
+        lambda: connected_components(spark, tables.edges, nodes=tables.nodes).state.count(),
+    )
+
+    # --- relational headliners on the driver tables ---
+    lineitem = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    customer = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    nation = spark.read.parquet(f"{SF_DIR}/nation.parquet")
+
+    timed(
+        "scan_agg_q1",
+        lambda: lineitem.filter(
+            F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+        )
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect(),
+    )
+    timed(
+        "multi_join_revenue",
+        lambda: orders.join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum("o_totalprice").alias("revenue"))
+        .collect(),
+    )
+    from pyspark.sql import Window as W
+
+    timed(
+        "window_topk",
+        lambda: orders.withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+            ),
+        )
+        .filter(F.col("rk") <= 3)
+        .count(),
+    )
+
+    # --- training-data ops ---
+    from plwordnet_spark.textops.dedup import minhash_lsh_dedup
+    from plwordnet_spark.vectors.similarity import cosine_topk
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+
+    def _dedup():
+        kept, pairs = minhash_lsh_dedup(spark, docs, threshold=0.8)
+        return kept.count(), pairs.count()
+
+    detail["minhash"] = dict(zip(("kept", "dup_pairs"), timed("minhash_dedup", _dedup)))
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries_df = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    timed("cosine_topk", lambda: cosine_topk(emb, queries_df, k=10).count())
+
+    pages.unpersist()
+    tables.edges.unpersist()
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                **detail,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -84,7 +84,8 @@ def build_graph(
         # dedup is lossless — dropDuplicates would discard it)
         .groupBy("src_url", "dst_url", "rel_id")
         .agg(F.count(F.lit(1)).cast("double").alias("weight"))
-    )
+    ).cache()  # consumed by edges, nodes AND degrees — one extraction pass,
+    # not three (at production scale this is a persisted staging table)
 
     edges_unsalted = link_pairs.select(
         F.xxhash64("src_url").alias("src"),

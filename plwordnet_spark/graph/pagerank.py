@@ -86,7 +86,9 @@ def pagerank(
     )
     scatter.count()  # materialize before the loop
 
-    dangling = ids.join(out_w, "id", "left_anti").cache()  # no out-edges
+    dangling = ids.join(out_w, "id", "left_anti").withColumn(
+        "_is_dangling", F.lit(True)
+    ).cache()  # no out-edges
 
     # resume path: seed from a checkpointed (id, rank) state instead of
     # the uniform vector (north rule: resumable from checkpoint)
@@ -95,10 +97,19 @@ def pagerank(
     else:
         init = ids.select("id", F.lit(1.0 / n_nodes).alias("rank"))
 
-    def step(ranks: DataFrame) -> DataFrame:
-        dangling_mass = (
-            dangling.join(ranks, "id").agg(F.sum("rank")).first()[0] or 0.0
+    # the dangling mass of the CURRENT state is measured in the previous
+    # iteration's delta action (one combined scan instead of a separate
+    # per-iteration job); seeded here with one upfront action
+    state_dm = {
+        "dm": float(
+            init.join(dangling.select("id"), "id")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .first()[0]
         )
+    }
+
+    def step(ranks: DataFrame) -> DataFrame:
+        dm = state_dm["dm"]
         contribs = scatter.join(ranks.withColumnRenamed("id", "src"), "src")
         if salted_gather:
             # phase 1: partial sums per (dst, salt) — splits hub keys
@@ -116,7 +127,7 @@ def pagerank(
             gathered = contribs.groupBy("dst").agg(
                 F.sum(F.col("rank") * F.col("share")).alias("incoming")
             )
-        base = (1.0 - alpha) / n_nodes + alpha * dangling_mass / n_nodes
+        base = (1.0 - alpha) / n_nodes + alpha * dm / n_nodes
         return (
             ids.join(gathered.withColumnRenamed("dst", "id"), "id", "left")
             .select(
@@ -128,8 +139,20 @@ def pagerank(
         )
 
     def l1_delta(old: DataFrame, new: DataFrame) -> float:
-        joined = old.withColumnRenamed("rank", "r0").join(new, "id")
-        return float(joined.agg(F.sum(F.abs(F.col("rank") - F.col("r0")))).first()[0])
+        # one scan: L1 convergence error + next iteration's dangling mass
+        joined = (
+            old.withColumnRenamed("rank", "r0")
+            .join(new, "id")
+            .join(dangling.select("id", "_is_dangling"), "id", "left")
+        )
+        row = joined.agg(
+            F.sum(F.abs(F.col("rank") - F.col("r0"))).alias("l1"),
+            F.coalesce(
+                F.sum(F.when(F.col("_is_dangling"), F.col("rank"))), F.lit(0.0)
+            ).alias("dm"),
+        ).first()
+        state_dm["dm"] = float(row["dm"])
+        return float(row["l1"])
 
     runner = PregelRunner(
         spark,

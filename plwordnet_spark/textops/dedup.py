@@ -146,7 +146,8 @@ def minhash_lsh_dedup(
         .withColumn("est_jaccard", matches / F.lit(float(n_hashes)))
         .filter(F.col("est_jaccard") >= F.lit(threshold))
         .select("id_a", "id_b", "est_jaccard")
-    )
+    ).cache()  # consumed by CC iteration AND returned to the caller —
+    # without this every consumer re-runs the signature pipeline
     # transitive closure with our own CC job; keep min-id per cluster
     from plwordnet_spark.graph.components import connected_components
 
