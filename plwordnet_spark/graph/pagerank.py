@@ -47,6 +47,7 @@ def pagerank(
     n_salts: int = 16,
     initial_ranks: DataFrame | None = None,
     start_iteration: int = 0,
+    check_interval: int = 1,
 ) -> PregelResult:
     """edges(src, dst[, weight[, salt]]) → ranks(id, rank) summing to 1.
 
@@ -99,14 +100,24 @@ def pagerank(
 
     # the dangling mass of the CURRENT state is measured in the previous
     # iteration's delta action (one combined scan instead of a separate
-    # per-iteration job); seeded here with one upfront action
-    state_dm = {
-        "dm": float(
-            init.join(dangling.select("id"), "id")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .first()[0]
-        )
-    }
+    # per-iteration job); graphs with no dangling nodes (checked once)
+    # skip the bookkeeping entirely
+    n_dangling = dangling.count()
+    if n_dangling == 0:
+        state_dm = {"dm": 0.0}
+    else:
+        state_dm = {
+            "dm": float(
+                init.join(dangling.select("id"), "id")
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+                .first()[0]
+            )
+        }
+        if check_interval != 1:
+            raise ValueError(
+                "check_interval > 1 requires a dangling-free graph: the "
+                "dangling mass is refreshed by the delta action"
+            )
 
     def step(ranks: DataFrame) -> DataFrame:
         dm = state_dm["dm"]
@@ -139,12 +150,14 @@ def pagerank(
         )
 
     def l1_delta(old: DataFrame, new: DataFrame) -> float:
-        # one scan: L1 convergence error + next iteration's dangling mass
-        joined = (
-            old.withColumnRenamed("rank", "r0")
-            .join(new, "id")
-            .join(dangling.select("id", "_is_dangling"), "id", "left")
-        )
+        # one scan: L1 convergence error (+ next iteration's dangling mass
+        # when the graph has dangling nodes)
+        joined = old.withColumnRenamed("rank", "r0").join(new, "id")
+        if n_dangling == 0:
+            return float(
+                joined.agg(F.sum(F.abs(F.col("rank") - F.col("r0")))).first()[0]
+            )
+        joined = joined.join(dangling.select("id", "_is_dangling"), "id", "left")
         row = joined.agg(
             F.sum(F.abs(F.col("rank") - F.col("r0"))).alias("l1"),
             F.coalesce(
@@ -160,6 +173,7 @@ def pagerank(
         tol=n_nodes * tol,
         checkpoint_dir=checkpoint_dir,
         checkpoint_interval=checkpoint_interval,
+        check_interval=check_interval,
     )
     result = runner.run(init, step, l1_delta, start_iteration=start_iteration)
     scatter.unpersist()

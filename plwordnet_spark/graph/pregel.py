@@ -60,11 +60,16 @@ class PregelRunner:
         tol: float | None = None,
         checkpoint_dir: str | None = None,
         checkpoint_interval: int = 5,
+        check_interval: int = 1,
     ):
         self.spark = spark
         self.max_iterations = max_iterations
         self.tol = tol
         self.checkpoint_interval = checkpoint_interval
+        # convergence-check cadence: >1 skips the delta action on
+        # intermediate iterations (the job may overshoot convergence by
+        # up to check_interval-1 iterations — monotone algorithms only)
+        self.check_interval = check_interval
         self.store = (
             SnapshotStore(spark, checkpoint_dir) if checkpoint_dir else None
         )
@@ -94,7 +99,11 @@ class PregelRunner:
             # truncate BEFORE measuring delta: the delta action then reads
             # the materialized state instead of re-executing the step plan
             new_state = self._truncate(step(state), iteration, {})
-            step_delta = delta(state, new_state) if delta else None
+            check_now = delta is not None and (
+                iteration % self.check_interval == 0
+                or iteration == self.max_iterations
+            )
+            step_delta = delta(state, new_state) if check_now else None
             entry = {
                 "iteration": iteration,
                 "delta": step_delta,

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["mean_pool", "weighted_mean_pool", "l2_normalize_expr"]
+__all__ = ["mean_pool", "weighted_mean_pool", "l2_normalize_expr", "impute_missing_by_group"]
 
 
 def l2_normalize_expr(vec_col):
@@ -60,6 +60,24 @@ def mean_pool(
     if normalize:
         out = out.withColumn(out_col, l2_normalize_expr(F.col(out_col)))
     return out
+
+
+def impute_missing_by_group(
+    df: DataFrame,
+    group_cols: list[str],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Fill null vectors with the mean of their group's non-null vectors
+    (the reference's empty-LU imputation,
+    plwordnet_ml/.../lexical_unit_empty.py:110-182). Rows in groups with
+    no vectors at all keep null."""
+    present = df.filter(F.col(vec_col).isNotNull())
+    group_means = mean_pool(present, group_cols, vec_col=vec_col, out_col="_group_mean")
+    return (
+        df.join(group_means, group_cols, "left")
+        .withColumn(vec_col, F.coalesce(F.col(vec_col), F.col("_group_mean")))
+        .drop("_group_mean")
+    )
 
 
 def weighted_mean_pool(

@@ -1,0 +1,135 @@
+"""Sources/sinks, streaming windows, multimodal plumbing, imputation."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from plwordnet_spark.multimodal import extract_media_features
+from plwordnet_spark.sources.dims import read_relation_weights
+from plwordnet_spark.sources.io import load_graph, read_jsonl, save_graph, write_jsonl
+from plwordnet_spark.sources.xml_lmf import parse_lmf_entries
+from plwordnet_spark.streaming.windows import (
+    read_event_stream,
+    sessionize_events,
+    windowed_event_counts,
+)
+from plwordnet_spark.vectors.pooling import impute_missing_by_group
+
+
+def test_jsonl_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "ala ma kota", 0.5), (2, "kot ma ale", 0.9)],
+        "sid long, text string, w double",
+    )
+    path = str(tmp_path / "samples_jsonl")
+    write_jsonl(df, path)
+    back = read_jsonl(spark, path, "sid long, text string, w double")
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_graph_save_load_cohesion(spark, tmp_path):
+    from plwordnet_spark.corpus import generate_pages
+    from plwordnet_spark.graph.build import build_graph
+
+    tables = build_graph(generate_pages(spark, 100, 42))
+    out = str(tmp_path / "graph")
+    manifest = save_graph(tables.nodes, tables.edges, out)
+    nodes, edges, manifest2 = load_graph(spark, out)
+    assert manifest["edge_count"] == manifest2["edge_count"] == edges.count()
+    assert nodes.count() == manifest["node_count"]
+
+
+def test_relation_weights_csv(spark, tmp_path):
+    csv = tmp_path / "weights.csv"
+    csv.write_text("rel_id,name,weight\n1,hiperonimia,1.0\n2,antonimia,0.14\n")
+    dim = read_relation_weights(spark, str(csv))
+    rows = {r.rel_id: r.weight for r in dim.collect()}
+    assert rows == {1: 1.0, 2: 0.14}
+
+
+def test_xml_lmf_parse(spark):
+    xml = """<LexicalResource><Lexicon>
+      <LexicalEntry id="w1">
+        <Lemma writtenForm="dom" partOfSpeech="n"/>
+        <Sense id="s1" synset="syn-1"/>
+        <Sense id="s2" synset="syn-2"/>
+      </LexicalEntry>
+      <LexicalEntry id="w2">
+        <Lemma writtenForm="kot &amp; pies" partOfSpeech="n"/>
+        <Sense id="s3" synset="syn-3"/>
+      </LexicalEntry>
+    </Lexicon></LexicalResource>"""
+    df = spark.createDataFrame([(xml,)], "xml string")
+    rows = parse_lmf_entries(df).collect()
+    assert len(rows) == 3
+    by_sense = {r.sense_id: r for r in rows}
+    assert by_sense["s1"].written_form == "dom"
+    assert by_sense["s1"].synset_id == "syn-1"
+    assert by_sense["s3"].written_form == "kot & pies"  # entity unescape
+
+
+def test_windowed_counts_stream_equals_batch(spark, sf_dir, tmp_path):
+    import shutil
+
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    expected = sorted(
+        map(tuple, windowed_event_counts(batch, window="1 hour").collect())
+    )
+    # file-stream sources consume directories; stage the table as one
+    src_dir = tmp_path / "events_in"
+    src_dir.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", src_dir / "part-0000.parquet")
+    stream = read_event_stream(spark, str(src_dir), max_files_per_trigger=1)
+    out = windowed_event_counts(stream, window="1 hour")
+    query = (
+        out.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    query.processAllAvailable()
+    got = sorted(map(tuple, spark.sql("SELECT * FROM win_counts").collect()))
+    query.stop()
+    assert got == expected
+
+
+def test_sessionize_batch(spark, sf_dir):
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sessions = sessionize_events(batch, gap="30 minutes")
+    row = sessions.first()
+    assert row.session_end >= row.session_start
+    assert sessions.count() > 0
+
+
+def test_media_features_stub(spark):
+    rows = [
+        (1, "image", "image/png", bytes(range(256)) * 4, None),
+        (2, "audio", "audio/wav", b"\x00" * 1024, None),
+        (3, "image", "image/png", b"", None),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, mime string, data binary, meta map<string,string>"
+    )
+    feats = {r.media_id: r for r in extract_media_features(media).collect()}
+    assert feats[1].n_bytes == 1024 and len(feats[1].features) == 8
+    assert feats[2].features == [0.0] * 8
+    assert feats[3].features == [0.0] * 8
+    # determinism
+    again = {r.media_id: r for r in extract_media_features(media).collect()}
+    assert feats[1].digest == again[1].digest
+
+
+def test_impute_missing_by_group(spark):
+    rows = [
+        (100, 1, [1.0, 3.0]),
+        (100, 2, [3.0, 5.0]),
+        (100, 3, None),
+        (200, 4, None),  # group with no vectors at all
+    ]
+    df = spark.createDataFrame(rows, "group_id long, nid long, embedding array<double>")
+    out = {r.nid: r.embedding for r in impute_missing_by_group(df, ["group_id"]).collect()}
+    assert np.allclose(out[3], [2.0, 4.0])
+    assert out[1] == [1.0, 3.0]
+    assert out[4] is None
