@@ -234,7 +234,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select(F.col("p_partkey").alias("key"))
             )
         ),
+        "q_rollup": lambda s, d: (
+            _t(s, d, "lineitem")
+            .rollup("l_returnflag", "l_linestatus")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            )
+            .select(
+                F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
+                F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
+                "n",
+                "sum_qty",
+            )
+        ),
+        "q_cube": lambda s, d: (
+            _t(s, d, "orders")
+            .cube("o_orderstatus", "o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                F.coalesce("o_orderstatus", F.lit("ALL")).alias("o_orderstatus"),
+                F.coalesce("o_orderpriority", F.lit("ALL")).alias("o_orderpriority"),
+                "n",
+            )
+        ),
         # --- explode / text ops (B5, T-family, dedup, quality) ---
+        "q_char_stats": lambda s, d: (
+            _t(s, d, "documents")
+            .select(
+                "doc_id",
+                F.length("text").alias("n_chars"),
+                F.round(
+                    (
+                        F.length("text")
+                        - F.length(F.regexp_replace(F.col("text"), r"[^\p{L}\p{N}\s]", ""))
+                    )
+                    / F.length("text"),
+                    6,
+                ).alias("punct_ratio"),
+            )
+            .filter(F.length("text") > 0)
+        ),
+        "q_sentence_pairs": lambda s, d: _q_sentence_pairs(s, d),
         "q_word_explode_count": lambda s, d: (
             _t(s, d, "documents")
             .select(F.explode(F.split(F.col("text"), " ")).alias("word"))
@@ -290,6 +331,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_minhash_dup_pairs": lambda s, d: _q_minhash_pairs(s, d),
         "q_simhash_near_dup": lambda s, d: _q_simhash(s, d),
     }
+
+
+def _q_sentence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document sentence cross product (B5 shape) on a doc subset.
+    Split regex kept RE2-compatible so the DuckDB oracle matches."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    # the synthetic docs have no sentence punctuation; chunk on a frequent
+    # token so the within-row cross product is exercised for real
+    arr = F.filter(
+        F.split(F.col("text"), " the "), lambda sentence: F.length(sentence) >= 10
+    )
+    return (
+        docs.select("doc_id", arr.alias("_arr"))
+        .withColumn("sentence1", F.explode("_arr"))
+        .withColumn("sentence2", F.explode("_arr"))
+        .select("doc_id", "sentence1", "sentence2")
+    )
 
 
 def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -465,6 +523,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT p_partkey AS key FROM part WHERE p_size > 25
             EXCEPT ALL
             SELECT p_partkey AS key FROM part WHERE p_retailprice > 950
+        """,
+        "q_rollup": """
+            SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+                   COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+                   CAST(count(*) AS BIGINT) AS n,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty
+            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "q_cube": """
+            SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+                   COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        """,
+        "q_char_stats": """
+            SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars,
+                   ROUND(
+                       (length(text) - length(regexp_replace(text, '[^\\p{L}\\p{N}\\s]', '', 'g')))
+                       / CAST(length(text) AS DOUBLE), 6
+                   ) AS punct_ratio
+            FROM documents WHERE length(text) > 0
+        """,
+        "q_sentence_pairs": """
+            SELECT doc_id, s1.s AS sentence1, s2.s AS sentence2
+            FROM (
+                SELECT doc_id,
+                       list_filter(string_split(text, ' the '),
+                                   x -> length(x) >= 10) AS arr
+                FROM documents WHERE doc_id < 20
+            ), UNNEST(arr) AS s1(s), UNNEST(arr) AS s2(s)
         """,
         "q_word_explode_count": """
             SELECT word, CAST(count(*) AS BIGINT) AS n FROM (

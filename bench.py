@@ -78,6 +78,17 @@ def main() -> None:
         "cpus": CPUS,
     }
 
+    def _pr_csr():
+        return pagerank(
+            spark, tables.edges, nodes=tables.nodes, tol=1e-6, max_iterations=60,
+            use_csr=True,
+        )
+
+    pr_csr = timed("pagerank_csr", _pr_csr)
+    detail["pagerank"]["csr_edges_per_sec"] = round(
+        n_edges * pr_csr.iterations / timings["pagerank_csr"], 1
+    )
+
     timed(
         "connected_components",
         lambda: connected_components(spark, tables.edges, nodes=tables.nodes).state.count(),

@@ -48,14 +48,19 @@ def pagerank(
     initial_ranks: DataFrame | None = None,
     start_iteration: int = 0,
     check_interval: int = 1,
+    use_csr: bool = False,
+    csr_workdir: str | None = None,
+    csr_buckets: int | None = None,
 ) -> PregelResult:
     """edges(src, dst[, weight[, salt]]) → ranks(id, rank) summing to 1.
 
     ``nodes``: optional (id, …) universe; defaults to ids appearing in
     edges. ``salted_gather``: two-phase aggregation splitting each dst
     key into ``salt`` sub-keys before the final combine — explicit skew
-    handling for hub vertices beyond AQE.
-    """
+    handling for hub vertices beyond AQE. ``use_csr``: stage the
+    adjacency once as per-partition CSR blocks (graph/csr.py) so each
+    iteration ships only the rank vector to Python workers; results are
+    identical to the join path (property-tested)."""
     weight_col = F.col("weight") if weighted and "weight" in edges.columns else F.lit(1.0)
     edge_w = edges.select("src", "dst", weight_col.cast("double").alias("w"))
 
@@ -86,6 +91,17 @@ def pagerank(
         .cache()
     )
     scatter.count()  # materialize before the loop
+
+    adj = None
+    if use_csr:
+        import tempfile
+
+        from plwordnet_spark.graph.csr import CsrAdjacency
+
+        workdir = csr_workdir or tempfile.mkdtemp(prefix="plwn_csr_")
+        buckets = csr_buckets or spark.sparkContext.defaultParallelism
+        adj = CsrAdjacency(spark, workdir, buckets)
+        adj.stage(scatter)
 
     dangling = ids.join(out_w, "id", "left_anti").withColumn(
         "_is_dangling", F.lit(True)
@@ -121,6 +137,21 @@ def pagerank(
 
     def step(ranks: DataFrame) -> DataFrame:
         dm = state_dm["dm"]
+        if adj is not None:
+            gathered = adj.gather(
+                ranks.withColumn("part", adj.bucket_col(F.col("id")))
+            )
+            base = (1.0 - alpha) / n_nodes + alpha * dm / n_nodes
+            return (
+                ids.join(gathered.withColumnRenamed("dst", "id"), "id", "left")
+                .select(
+                    "id",
+                    (
+                        F.lit(base)
+                        + F.lit(alpha) * F.coalesce(F.col("incoming"), F.lit(0.0))
+                    ).alias("rank"),
+                )
+            )
         contribs = scatter.join(ranks.withColumnRenamed("id", "src"), "src")
         if salted_gather:
             # phase 1: partial sums per (dst, salt) — splits hub keys

@@ -219,3 +219,21 @@ def pagerank_resume_helper(spark, edges, nodes, state, start_iter):
         initial_ranks=state, start_iteration=start_iter,
     )
     return result.state
+
+
+def test_pagerank_csr_equals_join_path(spark, tmp_path):
+    """Per-partition CSR gather must be numerically identical (1e-12) to
+    the join gather (SURVEY.md §7 stage 3 property test)."""
+    g = nx.gnp_random_graph(150, 0.04, seed=SEED, directed=True)
+    edges = _edges_df(spark, g.edges())
+    nodes = spark.createDataFrame([(int(n),) for n in g.nodes()], "id long")
+    join_res = pagerank(spark, edges, nodes=nodes, tol=1e-9, max_iterations=100)
+    csr_res = pagerank(
+        spark, edges, nodes=nodes, tol=1e-9, max_iterations=100,
+        use_csr=True, csr_workdir=str(tmp_path / "csr"), csr_buckets=4,
+    )
+    a = {r.id: r.rank for r in join_res.state.collect()}
+    b = {r.id: r.rank for r in csr_res.state.collect()}
+    assert set(a) == set(b)
+    for node_id, rank in a.items():
+        assert math.isclose(b[node_id], rank, abs_tol=1e-12), node_id

@@ -1,0 +1,125 @@
+"""Physical-plan hygiene audit.
+
+Checks the plans Catalyst produces for the engine's key queries against
+the properties that matter at 100 TB:
+
+* parquet scans carry PushedFilters + pruned ReadSchema (predicate
+  pushdown / column pruning reached the source),
+* small dims join via BroadcastHashJoin,
+* non-UDF stages sit inside WholeStageCodegen,
+* the PageRank iteration plan reuses the cached, pre-partitioned
+  scatter table (InMemoryTableScan, no re-Exchange of the edge side).
+
+Prints PASS/FAIL per assertion plus the formatted plans. Run:
+    python tools/explain_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from plwordnet_spark.session import get_spark  # noqa: E402
+
+CHECKS: list[tuple[str, bool]] = []
+
+
+def check(name: str, ok: bool, detail: str = "") -> None:
+    CHECKS.append((name, ok))
+    print(f"{'PASS' if ok else 'FAIL'}  {name}{(' — ' + detail) if detail else ''}")
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark(app_name="explain-audit")
+
+    # 1. filter + projection pushdown to parquet
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    q = lineitem.filter(F.col("l_quantity") > 30).select("l_orderkey", "l_quantity")
+    plan = plan_of(q)
+    check(
+        "filter pushed to parquet scan",
+        "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30" in plan.replace(".0", ""),
+        "PushedFilters present" if "PushedFilters" in plan else "no PushedFilters",
+    )
+    check(
+        "column pruning (2-col ReadSchema)",
+        "l_extendedprice" not in plan.split("ReadSchema")[-1].split("\n")[0],
+    )
+
+    # 2. broadcast join for small dims
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    j = customer.join(nation, customer.c_nationkey == nation.n_nationkey)
+    jplan = plan_of(j)
+    check("small dim joins as BroadcastHashJoin", "BroadcastHashJoin" in jplan)
+
+    # 3. whole-stage codegen on agg pipeline
+    agg = (
+        lineitem.groupBy("l_returnflag")
+        .agg(F.sum("l_quantity").alias("s"))
+    )
+    aplan = plan_of(agg)
+    check("agg has map-side partial aggregation", "partial_sum" in aplan)
+    # codegen spans appear as "*(N)" markers on the AQE final plan
+    agg.collect()
+    final_plan = agg._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+    check(
+        "agg inside WholeStageCodegen (final plan)",
+        "*(1)" in final_plan or "WholeStageCodegen" in final_plan,
+    )
+
+    # 4. pagerank iteration: cached scatter (InMemoryTableScan), single
+    #    gather aggregate
+    from plwordnet_spark.corpus import generate_pages
+    from plwordnet_spark.graph.build import build_graph
+
+    tables = build_graph(generate_pages(spark, 2000, 42))
+    edges = tables.edges
+    scatter = (
+        edges.select("src", "dst", (F.col("weight") / F.lit(2.0)).alias("share"))
+        .repartition("src")
+        .cache()
+    )
+    scatter.count()
+    ranks = tables.nodes.select("id", F.lit(0.1).alias("rank"))
+    gather = (
+        scatter.join(ranks.withColumnRenamed("id", "src"), "src")
+        .groupBy("dst")
+        .agg(F.sum(F.col("rank") * F.col("share")).alias("incoming"))
+    )
+    gplan = plan_of(gather)
+    check("gather join reads cached scatter", "InMemoryTableScan" in gplan)
+    check(
+        "gather has partial aggregation",
+        "partial_sum" in gplan or "HashAggregate" in gplan,
+    )
+
+    # 5. extraction pipeline: single Python-UDF stage (ArrowEvalPython)
+    pages = generate_pages(spark, 200, 42)
+    from plwordnet_spark.extraction.udfs import extract_text_udf
+
+    eplan = plan_of(pages.select(extract_text_udf("html").alias("t")))
+    check("extraction runs as Arrow-batched UDF", "ArrowEvalPython" in eplan)
+
+    print()
+    print("=== sample plans ===")
+    for title, p in (("pushdown", plan), ("gather", gplan)):
+        print(f"\n--- {title} ---\n{p[:2000]}")
+
+    spark.stop()
+    return 0 if all(ok for _, ok in CHECKS) else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
