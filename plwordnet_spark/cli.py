@@ -1,0 +1,279 @@
+"""Command-line surface — the reference CLI re-expressed for Spark.
+
+Reference: ``plwordnet-cli`` / ``plwordnet-milvus`` subcommands
+(apps/cli/*.py + plwordnet_handler/cli/wrappers.py). Mapping:
+
+| reference                                | here                         |
+|------------------------------------------|------------------------------|
+| --convert-to-nx-graph (graph build)      | build-graph                  |
+| --test-api (smoke)                       | smoke                        |
+| --dump-embedder-dataset-to-file          | export-dataset               |
+| (implicit: downstream graph analytics)   | pagerank / components /      |
+|                                          | labelprop / triangles        |
+| --prepare-base-embeddings-* (pooling)    | pool-embeddings              |
+| milvus similarity search                 | similar (exact top-k)        |
+| embedder-dataset-dedupliactor            | dedup                        |
+
+Launch locally (``python -m plwordnet_spark.cli ...``) or on a cluster:
+
+    spark-submit --py-files plwordnet_spark.zip \\
+        -m … cli entrypoint …  # north rule launch mode
+
+Every subcommand is a thin argparse shell over the library modules —
+no logic lives here.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from pyspark.sql import functions as F
+
+from plwordnet_spark.session import get_spark
+
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--master", default=None, help="spark master (default local[$SPARK_GRAFT_CPUS])")
+    p.add_argument("--output", required=False, help="output directory (parquet)")
+
+
+def cmd_smoke(args) -> int:
+    spark = get_spark("cli-smoke", master=args.master)
+    from plwordnet_spark.corpus import generate_pages
+    from plwordnet_spark.extraction.udfs import parse_pages
+
+    n = parse_pages(generate_pages(spark, 100, 42)).count()
+    print(json.dumps({"ok": n == 100, "pages": n}))
+    spark.stop()
+    return 0 if n == 100 else 1
+
+
+def cmd_build_graph(args) -> int:
+    spark = get_spark("cli-build-graph", master=args.master)
+    from plwordnet_spark.corpus import generate_pages
+    from plwordnet_spark.graph.build import build_graph, validate_graph
+    from plwordnet_spark.sources.io import save_graph
+
+    if args.pages_path:
+        pages = spark.read.parquet(args.pages_path)
+    else:
+        pages = generate_pages(spark, args.n_pages, args.seed)
+    tables = build_graph(pages, hub_degree_threshold=args.hub_threshold)
+    report = validate_graph(tables)
+    manifest = save_graph(tables.nodes, tables.edges, args.output)
+    print(json.dumps({"validation": report, "manifest_counts": {
+        "nodes": manifest["node_count"], "edges": manifest["edge_count"]}}))
+    spark.stop()
+    return 0
+
+
+def _load_graph(spark, graph_dir):
+    from plwordnet_spark.sources.io import load_graph
+
+    nodes, edges, _ = load_graph(spark, graph_dir)
+    return nodes, edges
+
+
+def cmd_pagerank(args) -> int:
+    spark = get_spark("cli-pagerank", master=args.master)
+    from plwordnet_spark.graph.pagerank import pagerank
+
+    nodes, edges = _load_graph(spark, args.graph)
+    res = pagerank(
+        spark, edges, nodes=nodes, tol=args.tol, max_iterations=args.max_iterations,
+        checkpoint_dir=args.checkpoint_dir, use_csr=args.csr,
+    )
+    if args.output:
+        res.state.write.mode("overwrite").parquet(args.output)
+    print(json.dumps({"iterations": res.iterations, "converged": res.converged,
+                      "metrics": res.metrics[-3:]}))
+    spark.stop()
+    return 0
+
+
+def cmd_components(args) -> int:
+    spark = get_spark("cli-components", master=args.master)
+    from plwordnet_spark.graph.components import connected_components
+
+    nodes, edges = _load_graph(spark, args.graph)
+    res = connected_components(spark, edges, nodes=nodes, method=args.method)
+    if args.output:
+        res.state.write.mode("overwrite").parquet(args.output)
+    n_comp = res.state.select("component").distinct().count()
+    print(json.dumps({"iterations": res.iterations, "components": n_comp}))
+    spark.stop()
+    return 0
+
+
+def cmd_labelprop(args) -> int:
+    spark = get_spark("cli-labelprop", master=args.master)
+    from plwordnet_spark.graph.labelprop import label_propagation
+
+    nodes, edges = _load_graph(spark, args.graph)
+    res = label_propagation(spark, edges, nodes=nodes, max_iterations=args.max_iterations)
+    if args.output:
+        res.state.write.mode("overwrite").parquet(args.output)
+    n_lab = res.state.select("label").distinct().count()
+    print(json.dumps({"iterations": res.iterations, "labels": n_lab}))
+    spark.stop()
+    return 0
+
+
+def cmd_triangles(args) -> int:
+    spark = get_spark("cli-triangles", master=args.master)
+    from plwordnet_spark.graph.triangles import triangle_count
+
+    _nodes, edges = _load_graph(spark, args.graph)
+    print(json.dumps({"triangles": triangle_count(edges)}))
+    spark.stop()
+    return 0
+
+
+def cmd_export_dataset(args) -> int:
+    """Balanced relation dataset export (reference
+    --dump-embedder-dataset-to-file, embedder.py:156-209)."""
+    spark = get_spark("cli-export-dataset", master=args.master)
+    from plwordnet_spark.datasets.balanced import (
+        balance_arithmetic,
+        negative_synthesis,
+        weight_partition,
+    )
+    from plwordnet_spark.sources.io import write_jsonl
+
+    samples = spark.read.parquet(args.samples)
+    low, high = weight_partition(samples, cut_weight=args.cut_weight)
+    l_count, h_count = low.count(), high.count()
+    plan = balance_arithmetic(l_count, h_count, ratio=args.ratio)
+    negatives = negative_synthesis(
+        high, samples, seed=args.seed, max_count=plan["add_examples"]
+    )
+    out = samples.select(
+        "text_parent", "text_child", "relation_weight", "relation_name"
+    ).unionByName(
+        negatives.select("text_parent", "text_child", "relation_weight", "relation_name")
+    )
+    write_jsonl(out, args.output)
+    print(json.dumps({"low": l_count, "high": h_count, **plan,
+                      "total": out.count()}))
+    spark.stop()
+    return 0
+
+
+def cmd_pool_embeddings(args) -> int:
+    spark = get_spark("cli-pool", master=args.master)
+    from plwordnet_spark.vectors.pooling import mean_pool, weighted_mean_pool
+
+    df = spark.read.parquet(args.embeddings)
+    df = df.withColumn("embedding", F.col(args.vec_col).cast("array<double>"))
+    if args.weight_col:
+        pooled = weighted_mean_pool(df, [args.group_col], weight_col=args.weight_col,
+                                    normalize=args.normalize)
+    else:
+        pooled = mean_pool(df, [args.group_col], normalize=args.normalize)
+    pooled.write.mode("overwrite").parquet(args.output)
+    print(json.dumps({"groups": pooled.count()}))
+    spark.stop()
+    return 0
+
+
+def cmd_similar(args) -> int:
+    spark = get_spark("cli-similar", master=args.master)
+    from plwordnet_spark.vectors.similarity import cosine_topk
+
+    corpus = spark.read.parquet(args.embeddings).withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = corpus.filter(F.col("vec_id").isin(args.ids)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    top = cosine_topk(corpus, queries, k=args.k)
+    for row in top.orderBy("query_id", "rank").collect():
+        print(json.dumps({"query_id": row.query_id, "vec_id": row.vec_id,
+                          "sim": round(row.sim, 6), "rank": row.rank}))
+    spark.stop()
+    return 0
+
+
+def cmd_dedup(args) -> int:
+    spark = get_spark("cli-dedup", master=args.master)
+    from plwordnet_spark.textops.dedup import exact_dedup, minhash_lsh_dedup
+
+    docs = spark.read.parquet(args.documents).select("doc_id", "text")
+    if args.method == "exact":
+        kept = exact_dedup(docs)
+        pairs_n = 0
+    else:
+        kept, pairs = minhash_lsh_dedup(spark, docs, threshold=args.threshold)
+        pairs_n = pairs.count()
+    if args.output:
+        kept.write.mode("overwrite").parquet(args.output)
+    print(json.dumps({"input": docs.count(), "kept": kept.count(),
+                      "dup_pairs": pairs_n}))
+    spark.stop()
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(prog="plwordnet-spark")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("smoke"); _add_common(p); p.set_defaults(fn=cmd_smoke)
+
+    p = sub.add_parser("build-graph"); _add_common(p)
+    p.add_argument("--pages-path", default=None)
+    p.add_argument("--n-pages", type=int, default=10000)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--hub-threshold", type=int, default=64)
+    p.set_defaults(fn=cmd_build_graph)
+
+    for name, fn in (("pagerank", cmd_pagerank), ("components", cmd_components),
+                     ("labelprop", cmd_labelprop), ("triangles", cmd_triangles)):
+        p = sub.add_parser(name); _add_common(p)
+        p.add_argument("--graph", required=True, help="dir from build-graph")
+        if name == "pagerank":
+            p.add_argument("--tol", type=float, default=1e-6)
+            p.add_argument("--max-iterations", type=int, default=100)
+            p.add_argument("--checkpoint-dir", default=None)
+            p.add_argument("--csr", action="store_true")
+        if name == "components":
+            p.add_argument("--method", default="two-phase",
+                           choices=["two-phase", "hashmin"])
+        if name == "labelprop":
+            p.add_argument("--max-iterations", type=int, default=10)
+        p.set_defaults(fn=fn)
+
+    p = sub.add_parser("export-dataset"); _add_common(p)
+    p.add_argument("--samples", required=True)
+    p.add_argument("--cut-weight", type=float, default=0.14)
+    p.add_argument("--ratio", type=float, default=2.0)
+    p.add_argument("--seed", type=int, default=42)
+    p.set_defaults(fn=cmd_export_dataset)
+
+    p = sub.add_parser("pool-embeddings"); _add_common(p)
+    p.add_argument("--embeddings", required=True)
+    p.add_argument("--group-col", default="label")
+    p.add_argument("--vec-col", default="embedding")
+    p.add_argument("--weight-col", default=None)
+    p.add_argument("--normalize", action="store_true")
+    p.set_defaults(fn=cmd_pool_embeddings)
+
+    p = sub.add_parser("similar"); _add_common(p)
+    p.add_argument("--embeddings", required=True)
+    p.add_argument("--ids", type=int, nargs="+", required=True)
+    p.add_argument("-k", type=int, default=10)
+    p.set_defaults(fn=cmd_similar)
+
+    p = sub.add_parser("dedup"); _add_common(p)
+    p.add_argument("--documents", required=True)
+    p.add_argument("--method", default="minhash", choices=["exact", "minhash"])
+    p.add_argument("--threshold", type=float, default=0.8)
+    p.set_defaults(fn=cmd_dedup)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
