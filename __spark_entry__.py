@@ -196,6 +196,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .filter(F.col("rn") == 1)
             .select("o_custkey", "o_orderkey", "o_orderdate")
         ),
+        "q_running_sum": lambda s, d: (
+            _t(s, d, "orders")
+            .filter(F.col("o_custkey") < 50)
+            .withColumn(
+                "running_total",
+                F.round(
+                    F.sum("o_totalprice").over(
+                        W.partitionBy("o_custkey")
+                        .orderBy("o_orderdate", "o_orderkey")
+                        .rowsBetween(W.unboundedPreceding, W.currentRow)
+                    ),
+                    2,
+                ),
+            )
+            .select("o_custkey", "o_orderkey", "running_total")
+        ),
+        "q_lag_delta": lambda s, d: (
+            _t(s, d, "orders")
+            .filter(F.col("o_custkey") < 50)
+            .withColumn(
+                "prev_price",
+                F.lag("o_totalprice").over(
+                    W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+                ),
+            )
+            .select(
+                "o_custkey",
+                "o_orderkey",
+                F.round(
+                    F.coalesce(F.col("o_totalprice") - F.col("prev_price"), F.lit(0.0)), 2
+                ).alias("price_delta"),
+            )
+        ),
         "q_dense_ids": lambda s, d: (
             _t(s, d, "nation")
             .select(
@@ -501,6 +534,21 @@ def oracle_sql() -> dict[str, str]:
                        ) AS rn
                 FROM orders
             ) WHERE rn = 1
+        """,
+        "q_running_sum": """
+            SELECT o_custkey, o_orderkey,
+                   ROUND(SUM(o_totalprice) OVER (
+                       PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ), 2) AS running_total
+            FROM orders WHERE o_custkey < 50
+        """,
+        "q_lag_delta": """
+            SELECT o_custkey, o_orderkey,
+                   ROUND(COALESCE(o_totalprice - LAG(o_totalprice) OVER (
+                       PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ), 0.0), 2) AS price_delta
+            FROM orders WHERE o_custkey < 50
         """,
         "q_dense_ids": """
             SELECT n_name,

@@ -133,3 +133,81 @@ def test_impute_missing_by_group(spark):
     assert np.allclose(out[3], [2.0, 4.0])
     assert out[1] == [1.0, 3.0]
     assert out[4] is None
+
+
+def test_export_pipelines(spark):
+    from plwordnet_spark.datasets.export import build_pair_dataset, export_relgat_triplets
+
+    samples = spark.createDataFrame(
+        [
+            ("Pierwsze zdanie o kotach rasowych. Drugie zdanie o psach rasowych.",
+             "Zdanie potomne o zwierzetach domowych.", 0.9),
+            ("Krotki tekst.", "Inny krotki tekst.", 0.3),
+        ],
+        "text_parent string, text_child string, relation_weight double",
+    )
+    pairs = build_pair_dataset(samples, train_ratio=0.5, seed=3, min_text_len=20)
+    rows = pairs.collect()
+    assert rows, "pairs produced"
+    assert all(len(r.sentence1) >= 20 and len(r.sentence2) >= 20 for r in rows)
+    assert set(r.split for r in rows) <= {"train", "test"}
+    # test priority: no train key duplicated in test
+    keys = {}
+    for r in rows:
+        keys.setdefault((r.sentence1, r.sentence2), set()).add(r.split)
+    assert all(len(v) == 1 for v in keys.values())
+
+    edges = spark.createDataFrame(
+        [(1, 2, 10), (2, 3, 11), (3, 9, 11), (9, 1, 12)],
+        "src long, dst long, rel_id int",
+    )
+    rel_names = spark.createDataFrame(
+        [(10, "hiperonimia"), (11, "antonimia"), (12, "meronimia")],
+        "rel_id int, name string",
+    )
+    embeddings = spark.createDataFrame([(1,), (2,), (3,)], "id long")
+    triplets, mapping = export_relgat_triplets(edges, rel_names, embeddings)
+    trows = {(r.src, r.dst, r.rel_idx) for r in triplets.collect()}
+    mrows = {r.name: r.rel_idx for r in mapping.collect()}
+    # edges touching node 9 (no embedding) filtered out (J5)
+    assert mrows == {"antonimia": 0, "hiperonimia": 1}  # dense ids by name
+    assert trows == {(1, 2, 1), (2, 3, 0)}
+
+
+def test_stateful_running_totals(spark, sf_dir, tmp_path):
+    import shutil
+
+    from plwordnet_spark.streaming.stateful import running_user_totals
+    from plwordnet_spark.streaming.windows import read_event_stream
+
+    src_dir = tmp_path / "events_state_in"
+    src_dir.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", src_dir / "part-0000.parquet")
+    stream = read_event_stream(spark, str(src_dir))
+    out = running_user_totals(stream)
+    query = (
+        out.writeStream.format("memory")
+        .queryName("user_totals")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "state_ckpt"))
+        .start()
+    )
+    query.processAllAvailable()
+    got = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in spark.sql("SELECT * FROM user_totals WHERE NOT finalized").collect()
+    }
+    query.stop()
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from pyspark.sql import functions as F
+
+    expected = {
+        r.user_id: (r.n, round(r.t, 6))
+        for r in batch.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(F.coalesce("value", F.lit(0.0))).alias("t"))
+        .collect()
+    }
+    assert set(expected) == set(got)
+    for uid, (n, t) in expected.items():
+        assert got[uid][0] == n
+        assert abs(got[uid][1] - t) < 1e-4
