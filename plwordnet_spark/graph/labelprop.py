@@ -49,7 +49,7 @@ def label_propagation(
         .repartition("v")
         .cache()
     )
-    sym.count()
+    n_sym = sym.count()
     init = ids.select("id", F.col("id").alias("label"))
 
     def step(labels: DataFrame) -> DataFrame:

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from plwordnet_spark.graph.pregel import PregelRunner, PregelResult
+from plwordnet_spark.graph.pregel import PregelRunner, PregelResult, loop_tuning
 
 __all__ = ["pagerank"]
 
@@ -51,6 +51,7 @@ def pagerank(
     use_csr: bool = False,
     csr_workdir: str | None = None,
     csr_buckets: int | None = None,
+    auto_tune: bool = True,
 ) -> PregelResult:
     """edges(src, dst[, weight[, salt]]) → ranks(id, rank) summing to 1.
 
@@ -72,6 +73,25 @@ def pagerank(
         )
     else:
         ids = nodes.select("id").distinct()
+    # loop tuning (AQE off, right-sized shuffles) measured beneficial for
+    # the join path only; the CSR path manages its own bucket layout.
+    # auto_tune=False keeps session-level configs (the cluster-sized
+    # setting) — used by scaling measurements where shuffle width must
+    # track cluster size
+    n_edge_rows = edge_w.count() if (auto_tune and not use_csr) else None
+    with loop_tuning(spark, n_edge_rows):
+        return _pagerank_loop(
+            spark, edge_w, ids, alpha, tol, max_iterations, checkpoint_dir,
+            checkpoint_interval, salted_gather, n_salts, initial_ranks,
+            start_iteration, check_interval, use_csr, csr_workdir, csr_buckets,
+        )
+
+
+def _pagerank_loop(
+    spark, edge_w, ids, alpha, tol, max_iterations, checkpoint_dir,
+    checkpoint_interval, salted_gather, n_salts, initial_ranks,
+    start_iteration, check_interval, use_csr, csr_workdir, csr_buckets,
+) -> PregelResult:
     ids = ids.repartition("id").cache()
     n_nodes = ids.count()
     if n_nodes == 0:
@@ -205,6 +225,9 @@ def pagerank(
         checkpoint_dir=checkpoint_dir,
         checkpoint_interval=checkpoint_interval,
         check_interval=check_interval,
+        # the step consumes ranks linearly (single reference in the gather
+        # join), so the soft-persist chain is safe and saves one job/iter
+        truncate_interval=4,
     )
     result = runner.run(init, step, l1_delta, start_iteration=start_iteration)
     scatter.unpersist()
