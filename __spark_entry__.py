@@ -363,6 +363,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_label_propagation": lambda s, d: _q_label_propagation(s, d),
         "q_minhash_dup_pairs": lambda s, d: _q_minhash_pairs(s, d),
         "q_simhash_near_dup": lambda s, d: _q_simhash(s, d),
+        "q_embedding_near_dup": lambda s, d: _q_embedding_near_dup(s, d),
+        "q_lsh_topk": lambda s, d: _q_lsh_topk(s, d),
     }
 
 
@@ -443,6 +445,37 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return simhash_near_dup_pairs(docs, max_hamming=3)
+
+
+def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via LSH buckets (rows-only: the
+    random hyperplanes are engine-seeded, not SQL-expressible)."""
+    from plwordnet_spark.vectors.similarity import cosine_pairs
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    dim = len(emb.select("embedding").first()[0])
+    return cosine_pairs(emb, dim=dim, threshold=0.3, n_bands=8, band_bits=4).select(
+        "id_a", "id_b", F.round("sim", 4).alias("sim")
+    )
+
+
+def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k (IVF/HNSW analog); exact counterpart is
+    q_cosine_topk which has a SQL oracle."""
+    from plwordnet_spark.vectors.similarity import lsh_bucketed_topk
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    dim = len(emb.select("embedding").first()[0])
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_bucketed_topk(emb, qs, dim=dim, k=5, n_bands=8, band_bits=4).select(
+        "query_id", "vec_id", F.round("sim", 4).alias("sim"), "rank"
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 
 from plwordnet_spark.extraction.udfs import extract_links_udf
 
-__all__ = ["GraphTables", "build_graph", "id_collisions", "validate_graph"]
+__all__ = ["GraphTables", "build_graph", "id_collisions", "merge_edge_tables", "validate_graph"]
 
 REL_INTRA_DOMAIN = 1
 REL_CROSS_DOMAIN = 2
@@ -133,6 +133,22 @@ def build_graph(
     else:
         edges = edges.repartition("src")
     return GraphTables(nodes=nodes, edges=edges, link_pairs=link_pairs)
+
+
+def merge_edge_tables(existing: DataFrame, new: DataFrame) -> DataFrame:
+    """Incremental crawl merge: union two (src, dst, rel_id, weight[, salt])
+    edge tables, summing multiplicity weights of edges seen in both —
+    the MERGE-INTO shape of an Iceberg upsert, expressed relationally
+    (the reference's incremental skip-already-done batch pattern,
+    plwordnet_ml/.../wrappers.py:292-304, upgraded to additive merge).
+    Salt is recomputed downstream by the degree job; dropped here."""
+    cols = ["src", "dst", "rel_id", "weight"]
+    return (
+        existing.select(*cols)
+        .unionByName(new.select(*cols))
+        .groupBy("src", "dst", "rel_id")
+        .agg(F.sum("weight").alias("weight"))
+    )
 
 
 def id_collisions(nodes: DataFrame) -> int:

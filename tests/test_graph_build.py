@@ -80,3 +80,21 @@ def test_dangling_and_isolated_nodes(spark):
     assert n_nodes >= n_pages_count
     report = validate_graph(tables)
     assert report["edges_without_dst_node"] == 0
+
+
+def test_merge_edge_tables(spark):
+    """Incremental merge: batch1 ∪ batch2 == full build (additive
+    weights), so a resumed crawl converges to the one-shot result."""
+    from plwordnet_spark.graph.build import merge_edge_tables
+
+    full = build_graph(generate_pages(spark, 120, SEED)).edges
+    pages = generate_pages(spark, 120, SEED).cache()
+    batch1 = build_graph(pages.filter("url like '%/p/1%' or url like '%/p/2%'")).edges
+    batch2 = build_graph(
+        pages.filter("not (url like '%/p/1%' or url like '%/p/2%')")
+    ).edges
+    merged = merge_edge_tables(batch1, batch2)
+    a = {(r.src, r.dst, r.rel_id): r.weight for r in merged.collect()}
+    b = {(r.src, r.dst, r.rel_id): r.weight for r in full.select("src","dst","rel_id","weight").collect()}
+    assert a == b
+    pages.unpersist()
