@@ -355,6 +355,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .agg(F.round(F.avg("x"), 6).alias("mean_x"))
         ),
         "q_cosine_topk": lambda s, d: _q_cosine_topk(s, d),
+        # --- relation expansion (J2/J3 ★) with SQL oracles ---
+        "q_group_expansion": lambda s, d: _q_group_expansion(s, d),
+        "q_synonymy_cliques": lambda s, d: _q_synonymy_cliques(s, d),
         # --- graph with SQL oracles ---
         "q_triangle_count": lambda s, d: _q_triangle_count(s, d),
         "q_connected_components": lambda s, d: _q_connected_components(s, d),
@@ -398,6 +401,50 @@ def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, qs, k=10).select(
         "query_id", "vec_id", F.round("sim", 4).alias("sim"), "rank"
     )
+
+
+def _q_group_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 ★: group-relation → member cross products, on a TPC-H-derived
+    grouping (members = suppliers, groups = nations, group relations =
+    region-adjacent nation pairs). Salted path exercised; the SQL oracle
+    is the plain double join."""
+    from plwordnet_spark.datasets.relations import expand_group_relations
+
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    membership = supplier.select(
+        F.col("s_suppkey").alias("member_id"),
+        F.col("s_nationkey").cast("long").alias("group_id"),
+    )
+    n1 = nation.select(
+        F.col("n_nationkey").alias("pg"), F.col("n_regionkey").alias("r1")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("cg"), F.col("n_regionkey").alias("r2")
+    )
+    group_rels = (
+        n1.join(n2, (F.col("r1") == F.col("r2")) & (F.col("pg") < F.col("cg")))
+        .select(
+            F.col("pg").cast("long").alias("parent_group"),
+            F.col("cg").cast("long").alias("child_group"),
+            F.lit(1).alias("rel_id"),
+        )
+    )
+    return expand_group_relations(group_rels, membership, n_salts=4).select(
+        "src", "dst", "rel_id"
+    )
+
+
+def _q_synonymy_cliques(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 ★: ordered member pairs within each group (self-pairs excluded),
+    groups = nations over suppliers."""
+    from plwordnet_spark.datasets.relations import synonymy_cliques
+
+    membership = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("member_id"),
+        F.col("s_nationkey").cast("long").alias("group_id"),
+    )
+    return synonymy_cliques(membership, rel_id=0).select("src", "dst", "rel_id")
 
 
 def _q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -688,6 +735,27 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, vec_id, ROUND(s, 4) AS sim, rank
             FROM ranked WHERE rank <= 10
+        """,
+        "q_group_expansion": """
+            WITH group_rels AS (
+                SELECT CAST(a.n_nationkey AS BIGINT) AS parent_group,
+                       CAST(b.n_nationkey AS BIGINT) AS child_group
+                FROM nation a JOIN nation b
+                  ON a.n_regionkey = b.n_regionkey
+                 AND a.n_nationkey < b.n_nationkey
+            )
+            SELECT p.s_suppkey AS src, c.s_suppkey AS dst,
+                   CAST(1 AS INTEGER) AS rel_id
+            FROM group_rels g
+            JOIN supplier p ON CAST(p.s_nationkey AS BIGINT) = g.parent_group
+            JOIN supplier c ON CAST(c.s_nationkey AS BIGINT) = g.child_group
+        """,
+        "q_synonymy_cliques": """
+            SELECT a.s_suppkey AS src, b.s_suppkey AS dst,
+                   CAST(0 AS INTEGER) AS rel_id
+            FROM supplier a JOIN supplier b
+              ON a.s_nationkey = b.s_nationkey
+             AND a.s_suppkey <> b.s_suppkey
         """,
         "q_triangle_count": f"""
             WITH edges AS ({_EDGE_SQL_DERIVATION}),

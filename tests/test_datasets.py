@@ -173,3 +173,44 @@ def test_sentence_pair_explode(spark):
     assert out.count() == 6
     pairs = {(r.sentence1, r.sentence2) for r in out.collect()}
     assert ("Two.", "Beta?") in pairs
+
+
+def test_salting_splits_hub_fanin(spark):
+    """Skew evidence: a hub group's cross-product fan-in must split
+    across salt shards — max per-(relation, salt) build size ≈ 1/n_salts
+    of the unsalted hub size (north rule: skew handled explicitly)."""
+    from pyspark.sql import functions as F
+
+    hub_members = [(i, 999) for i in range(400)]  # one hub group
+    tail_members = [(1000 + i, i % 7) for i in range(70)]
+    membership = spark.createDataFrame(
+        hub_members + tail_members, "member_id long, group_id long"
+    )
+    group_rels = spark.createDataFrame(
+        [(999, 0, 1), (999, 1, 1)], "parent_group long, child_group long, rel_id int"
+    )
+    n_salts = 8
+    m_parent = membership.select(
+        F.col("group_id").alias("parent_group"), F.col("member_id").alias("src")
+    ).withColumn("salt", F.pmod(F.xxhash64("src"), F.lit(n_salts)).cast("int"))
+    shard_sizes = (
+        m_parent.filter(F.col("parent_group") == 999)
+        .groupBy("salt")
+        .count()
+        .collect()
+    )
+    sizes = [r["count"] for r in shard_sizes]
+    assert len(sizes) == n_salts  # every shard used
+    assert max(sizes) < 400 / n_salts * 2  # no shard holds the whole hub
+    # and the salted expansion still returns the exact relation set
+    from plwordnet_spark.datasets.relations import expand_group_relations
+
+    plain = {
+        (r.src, r.dst, r.rel_id)
+        for r in expand_group_relations(group_rels, membership).collect()
+    }
+    salted = {
+        (r.src, r.dst, r.rel_id)
+        for r in expand_group_relations(group_rels, membership, n_salts=n_salts).collect()
+    }
+    assert salted == plain and len(plain) == 400 * 10 * 2
