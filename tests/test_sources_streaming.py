@@ -263,3 +263,47 @@ def test_bucketed_edges_aggregate_no_exchange(spark):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {src_table}")
         spark.sql(f"DROP TABLE IF EXISTS {dst_table}")
+
+
+def test_streaming_ingest_equals_batch_build(spark, tmp_path):
+    """Page stream → incremental edge merges == one-shot batch build
+    (streaming crawl ingestion end-to-end; micro-batches forced by
+    maxFilesPerTrigger=1 over multiple files)."""
+    from plwordnet_spark.corpus import generate_pages
+    from plwordnet_spark.graph.build import build_graph
+    from plwordnet_spark.storage.snapshots import SnapshotStore
+    from plwordnet_spark.streaming.ingest import read_page_stream, stream_pages_to_edges
+
+    pages = generate_pages(spark, 150, 42).cache()
+    src_dir = tmp_path / "pages_in"
+    src_dir.mkdir()
+    # three separate files → three micro-batches
+    for i, frac in enumerate([(0, 50), (50, 100), (100, 150)]):
+        (
+            pages.filter(
+                f"cast(split_part(url, '/p/', 2) as long) >= {frac[0]} and "
+                f"cast(split_part(url, '/p/', 2) as long) < {frac[1]}"
+            )
+            .coalesce(1)
+            .write.parquet(str(src_dir / f"batch{i}"))
+        )
+    stream = read_page_stream(spark, str(src_dir) + "/*", max_files_per_trigger=1)
+    edges_dir = str(tmp_path / "edges_snap")
+    query = stream_pages_to_edges(
+        spark, stream, edges_dir, str(tmp_path / "ingest_ckpt")
+    )
+    query.awaitTermination(120)
+
+    store = SnapshotStore(spark, edges_dir)
+    manifest = store.manifest()
+    assert len(manifest) >= 2  # incremental merges happened
+    assert sum(e["metrics"]["pages_in_batch"] for e in manifest) == 150
+    final, _ = store.latest()
+    got = {(r.src, r.dst, r.rel_id): r.weight for r in final.collect()}
+    batch = build_graph(pages).edges
+    want = {
+        (r.src, r.dst, r.rel_id): r.weight
+        for r in batch.select("src", "dst", "rel_id", "weight").collect()
+    }
+    assert got == want
+    pages.unpersist()
