@@ -29,7 +29,7 @@ from plwordnet_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "20000"))
+N_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "50000"))
 SEED = 42
 
 
