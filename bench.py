@@ -155,6 +155,21 @@ def main() -> None:
     )
     timed("cosine_topk", lambda: cosine_topk(emb, queries_df, k=10).count())
 
+    # reference comparison: the reference's only published throughput is
+    # 370.45 per-id vector point-lookups/sec (single-threaded Milvus loop,
+    # /root/reference/INSTALL.md:243-244). Same workload relationally:
+    # fetch every embedding by id via a key join, one batch job.
+    def _point_lookups():
+        ids = emb.select("vec_id")
+        return emb.join(ids, "vec_id", "left_semi").count()
+
+    n_lookups = timed("point_lookup_batch", _point_lookups)
+    detail["point_lookups"] = {
+        "n": n_lookups,
+        "lookups_per_sec": round(n_lookups / timings["point_lookup_batch"], 1),
+        "reference_lookups_per_sec": 370.45,
+    }
+
     pages.unpersist()
     tables.edges.unpersist()
     total = round(sum(timings.values()), 3)
