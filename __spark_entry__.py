@@ -348,6 +348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         ),
         # --- vectors (A4 pooling, W1 top-k) ---
+        "q_weighted_mean_pool": lambda s, d: _q_weighted_mean_pool(s, d),
         "q_mean_pool_by_label": lambda s, d: (
             _t(s, d, "embeddings")
             .select("label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x"))
@@ -463,11 +464,18 @@ def _q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.state.select("id", "component")
 
 
+_PR_ITERS = 30  # fixed power-iteration count: engine and SQL oracle run
+# exactly the same K so per-vertex ranks match to the 8-decimal rounding
+_LPA_ITERS = 5
+_EMB_DIM = 64  # driver testdata embedding width (all sf dirs)
+_DUP_THRESHOLD = 0.8  # exact-Jaccard near-dup bar shared by both sides
+
+
 def _q_pagerank_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     from plwordnet_spark.graph.pagerank import pagerank
 
     edges = _derived_edges(spark, sf_dir)
-    res = pagerank(spark, edges, tol=1e-8, max_iterations=100, weighted=False)
+    res = pagerank(spark, edges, tol=0.0, max_iterations=_PR_ITERS, weighted=False)
     return res.state.select("id", F.round("rank", 8).alias("rank"))
 
 
@@ -475,59 +483,264 @@ def _q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from plwordnet_spark.graph.labelprop import label_propagation
 
     edges = _derived_edges(spark, sf_dir)
-    res = label_propagation(spark, edges, max_iterations=5)
+    res = label_propagation(spark, edges, max_iterations=_LPA_ITERS)
     return res.state.select("id", "label")
 
 
 def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from plwordnet_spark.textops.dedup import minhash_lsh_dedup
+    """MinHash-LSH candidate generation + exact-Jaccard verify — the
+    production near-dup shape (cheap hash candidates, exact similarity
+    only on candidates). The exact verify makes the result SQL-checkable:
+    the oracle computes all pairs with Jaccard ≥ threshold directly."""
+    from plwordnet_spark.textops.dedup import (
+        exact_jaccard_for_pairs,
+        minhash_candidate_pairs,
+    )
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    _kept, pairs = minhash_lsh_dedup(spark, docs, threshold=0.8)
-    return pairs.select("id_a", "id_b", F.round("est_jaccard", 4).alias("est_jaccard"))
+    cand = minhash_candidate_pairs(docs, n_bands=16)
+    return (
+        exact_jaccard_for_pairs(cand, docs)
+        .filter(F.col("jaccard") >= F.lit(_DUP_THRESHOLD))
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )
 
 
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from plwordnet_spark.textops.dedup import simhash_near_dup_pairs
+    """SimHash chunk-banded candidates + exact-Jaccard verify (same
+    SQL-checkable pipeline shape as q_minhash_dup_pairs, different
+    candidate generator)."""
+    from plwordnet_spark.textops.dedup import (
+        exact_jaccard_for_pairs,
+        simhash_near_dup_pairs,
+    )
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    return simhash_near_dup_pairs(docs, max_hamming=3)
+    cand = simhash_near_dup_pairs(docs, max_hamming=10)
+    return (
+        exact_jaccard_for_pairs(cand, docs)
+        .filter(F.col("jaccard") >= F.lit(_DUP_THRESHOLD))
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )
 
 
 def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs via LSH buckets (rows-only: the
-    random hyperplanes are engine-seeded, not SQL-expressible)."""
+    """Embedding-cosine near-dup pairs via LSH buckets. The seeded
+    hyperplanes are plain Python floats, so the DuckDB oracle inlines the
+    same constants and replays candidate generation exactly."""
     from plwordnet_spark.vectors.similarity import cosine_pairs
 
     emb = _t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
-    dim = len(emb.select("embedding").first()[0])
-    return cosine_pairs(emb, dim=dim, threshold=0.3, n_bands=8, band_bits=4).select(
-        "id_a", "id_b", F.round("sim", 4).alias("sim")
-    )
+    return cosine_pairs(
+        emb, dim=_EMB_DIM, threshold=0.3, n_bands=8, band_bits=4
+    ).select("id_a", "id_b", F.round("sim", 4).alias("sim"))
 
 
 def _q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k (IVF/HNSW analog); exact counterpart is
-    q_cosine_topk which has a SQL oracle."""
+    """Approximate top-k (IVF/HNSW analog); the oracle replays the
+    seeded-plane bucketing in SQL (see _q_embedding_near_dup)."""
     from plwordnet_spark.vectors.similarity import lsh_bucketed_topk
 
     emb = _t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
-    dim = len(emb.select("embedding").first()[0])
     qs = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return lsh_bucketed_topk(emb, qs, dim=dim, k=5, n_bands=8, band_bits=4).select(
+    return lsh_bucketed_topk(emb, qs, dim=_EMB_DIM, k=5, n_bands=8, band_bits=4).select(
         "query_id", "vec_id", F.round("sim", 4).alias("sim"), "rank"
+    )
+
+
+def _q_weighted_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 ★ weighted mean pooling (strategy.py:70-98 semantics, weight =
+    1 + n smoothing analog derived from vec_id); result arrays re-exploded
+    so the value hash compares per-dimension scalars."""
+    from plwordnet_spark.vectors.pooling import weighted_mean_pool
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "label",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+        (F.lit(1.0) + (F.col("vec_id") % 5).cast("double")).alias("weight"),
+    )
+    pooled = weighted_mean_pool(emb, ["label"], out_col="vec")
+    return pooled.select("label", F.posexplode("vec").alias("pos", "x")).select(
+        "label", "pos", F.round("x", 6).alias("mean_x")
     )
 
 
 # ---------------------------------------------------------------------------
 # oracle SQL (DuckDB dialect, same column names and rounding)
 # ---------------------------------------------------------------------------
+
+def _pagerank_oracle_sql(k: int = _PR_ITERS, alpha: float = 0.85) -> str:
+    """Unrolled fixed-k power iteration: exact engine semantics —
+    out-degree-normalized scatter, uniform teleport, dangling mass of the
+    PREVIOUS state redistributed uniformly. One (d_i, r_{i+1}) CTE pair
+    per iteration; per-term float products are identical on both sides,
+    summation-order differences sit ~6 orders below the 8-decimal round."""
+    # AS MATERIALIZED: without it DuckDB inlines each CTE at every
+    # reference — r_k's expansion grows exponentially and re-opens the
+    # parquet thousands of times (EMFILE)
+    parts = [
+        f"WITH edges AS MATERIALIZED ({_EDGE_SQL_DERIVATION})",
+        "ids AS MATERIALIZED (SELECT src AS id FROM edges UNION SELECT dst FROM edges)",
+        "outd AS MATERIALIZED (SELECT src AS id, CAST(count(*) AS DOUBLE) AS od FROM edges GROUP BY src)",
+        "nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM ids)",
+        "r0 AS MATERIALIZED (SELECT id, 1.0/(SELECT n FROM nn) AS rank FROM ids)",
+    ]
+    for i in range(k):
+        parts.append(
+            f"d{i} AS MATERIALIZED (SELECT COALESCE(SUM(r.rank), 0.0) AS dm FROM r{i} r "
+            "LEFT JOIN outd o ON r.id = o.id WHERE o.id IS NULL)"
+        )
+        parts.append(
+            f"r{i + 1} AS MATERIALIZED (SELECT i.id, "
+            f"((1.0 - {alpha})/(SELECT n FROM nn) "
+            f"+ {alpha}*(SELECT dm FROM d{i})/(SELECT n FROM nn)) "
+            f"+ {alpha} * COALESCE(g.inc, 0.0) AS rank "
+            "FROM ids i LEFT JOIN ("
+            "SELECT e.dst AS id, SUM(r.rank * (1.0/o.od)) AS inc "
+            f"FROM edges e JOIN outd o ON e.src = o.id JOIN r{i} r ON r.id = e.src "
+            "GROUP BY e.dst) g ON i.id = g.id)"
+        )
+    return ",\n".join(parts) + f"\nSELECT id, ROUND(rank, 8) AS rank FROM r{k}"
+
+
+def _lpa_oracle_sql(k: int = _LPA_ITERS) -> str:
+    """Unrolled synchronous label propagation: most frequent neighbor
+    label, ties to the smallest label, isolated nodes keep their own —
+    the engine's exact deterministic rule (graph/labelprop.py)."""
+    parts = [
+        f"WITH edges AS ({_EDGE_SQL_DERIVATION})",
+        "und AS (SELECT DISTINCT u, v FROM ("
+        "SELECT src AS u, dst AS v FROM edges "
+        "UNION ALL SELECT dst AS u, src AS v FROM edges) WHERE u <> v)",
+        "ids AS (SELECT DISTINCT u AS id FROM und)",
+        "l0 AS (SELECT id, id AS label FROM ids)",
+    ]
+    for i in range(k):
+        parts.append(
+            f"l{i + 1} AS (SELECT l.id, COALESCE(b.lbl, l.label) AS label "
+            f"FROM l{i} l LEFT JOIN ("
+            "SELECT u AS id, label AS lbl FROM ("
+            "SELECT u, label, row_number() OVER "
+            "(PARTITION BY u ORDER BY n DESC, label) AS rn "
+            "FROM (SELECT e.u, p.label, count(*) AS n "
+            f"FROM und e JOIN l{i} p ON e.v = p.id GROUP BY e.u, p.label)"
+            ") WHERE rn = 1) b ON l.id = b.id)"
+        )
+    return ",\n".join(parts) + f"\nSELECT id, label FROM l{k}"
+
+
+# exact word-3-gram Jaccard over all pairs sharing ≥1 shingle (complete
+# for any threshold > 0) — mirrors word_shingles_expr byte-for-byte:
+# normalize → split → 3-gram windows (short-text clipping included) →
+# distinct → drop empties
+_JACCARD_SQL_CTES = r"""
+docs_n AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents),
+words AS (SELECT doc_id, string_split(t, ' ') AS ws FROM docs_n),
+sh AS (
+    SELECT doc_id, unnest(list_distinct(list_filter(
+        [array_to_string(ws[i+1:i+3], ' ') FOR i IN range(0, greatest(len(ws)-3, 0)+1)],
+        s -> length(s) > 0))) AS sh
+    FROM words
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+jac AS (
+    SELECT p.id_a, p.id_b,
+           p.common / CAST(sa.sz + sb.sz - p.common AS DOUBLE) AS jaccard
+    FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ) p
+    JOIN sizes sa ON sa.doc_id = p.id_a
+    JOIN sizes sb ON sb.doc_id = p.id_b
+)
+"""
+
+_JACCARD_PAIRS_ORACLE = (
+    f"WITH {_JACCARD_SQL_CTES} "
+    f"SELECT id_a, id_b, ROUND(jaccard, 4) AS jaccard FROM jac "
+    f"WHERE jaccard >= {_DUP_THRESHOLD}"
+)
+
+
+def _lsh_banded_sql(src: str, id_expr: str, n_bands: int, band_bits: int,
+                    seed: int, dim: int) -> str:
+    """(id, v, band, code) per band with the engine's seeded hyperplane
+    constants inlined — replays vectors.similarity._band_codes_udf's
+    sign-bit bucketing in pure SQL (planes are plain Python floats)."""
+    from plwordnet_spark.vectors.similarity import _random_planes
+
+    planes = _random_planes(dim, n_bands * band_bits, seed)
+    selects = []
+    for b in range(n_bands):
+        terms = []
+        for r in range(band_bits):
+            lit = "[" + ", ".join(repr(x) for x in planes[b * band_bits + r]) + "]"
+            terms.append(
+                f"(CASE WHEN list_dot_product(v, {lit}) >= 0 "
+                f"THEN {1 << (band_bits - 1 - r)} ELSE 0 END)"
+            )
+        selects.append(
+            f"SELECT {id_expr}, v, {b} AS band, {' + '.join(terms)} AS code FROM {src}"
+        )
+    return " UNION ALL ".join(selects)
+
+
+def _embedding_near_dup_oracle() -> str:
+    banded = _lsh_banded_sql("e", "vec_id", n_bands=8, band_bits=4, seed=42, dim=_EMB_DIM)
+    return f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        banded AS ({banded}),
+        cand AS (
+            SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.code = b.code AND a.vec_id < b.vec_id
+        ),
+        scored AS (
+            SELECT c.id_a, c.id_b, list_cosine_similarity(ea.v, eb.v) AS s
+            FROM cand c
+            JOIN e ea ON ea.vec_id = c.id_a
+            JOIN e eb ON eb.vec_id = c.id_b
+        )
+        SELECT id_a, id_b, ROUND(s, 4) AS sim FROM scored WHERE s >= 0.3
+    """
+
+
+def _lsh_topk_oracle() -> str:
+    corpus_banded = _lsh_banded_sql("e", "vec_id", 8, 4, 42, _EMB_DIM)
+    query_banded = _lsh_banded_sql("q", "query_id", 8, 4, 42, _EMB_DIM)
+    return f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < 3),
+        cb AS ({corpus_banded}),
+        qb AS ({query_banded}),
+        cand AS (
+            SELECT DISTINCT qb.query_id, cb.vec_id
+            FROM cb JOIN qb ON cb.band = qb.band AND cb.code = qb.code
+        ),
+        scored AS (
+            SELECT c.query_id, c.vec_id, list_cosine_similarity(eq.v, ec.v) AS s
+            FROM cand c
+            JOIN e ec ON ec.vec_id = c.vec_id
+            JOIN e eq ON eq.vec_id = c.query_id
+        ),
+        ranked AS (
+            SELECT query_id, vec_id, s,
+                   CAST(row_number() OVER (
+                       PARTITION BY query_id ORDER BY s DESC, vec_id
+                   ) AS INTEGER) AS rank
+            FROM scored
+        )
+        SELECT query_id, vec_id, ROUND(s, 4) AS sim, rank
+        FROM ranked WHERE rank <= 5
+    """
+
 
 def oracle_sql() -> dict[str, str]:
     return {
@@ -785,8 +998,21 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id, MIN(comp) AS component FROM reach GROUP BY id
         """,
-        # q_pagerank_top, q_label_propagation, q_minhash_dup_pairs,
-        # q_simhash_near_dup: iterative / hash-seeded — rows-only checks;
-        # golden-tested against oracles in tests/test_algorithms.py and
-        # tests/test_textops.py.
+        "q_weighted_mean_pool": """
+            SELECT label, CAST(pos AS INTEGER) AS pos,
+                   ROUND(SUM(x * w) / SUM(w), 6) AS mean_x
+            FROM (
+                SELECT label, 1.0 + (vec_id % 5) AS w,
+                       unnest(range(len(embedding))) AS pos,
+                       unnest(CAST(embedding AS DOUBLE[])) AS x
+                FROM embeddings
+            )
+            GROUP BY 1, 2
+        """,
+        "q_pagerank_top": _pagerank_oracle_sql(),
+        "q_label_propagation": _lpa_oracle_sql(),
+        "q_minhash_dup_pairs": _JACCARD_PAIRS_ORACLE,
+        "q_simhash_near_dup": _JACCARD_PAIRS_ORACLE,
+        "q_embedding_near_dup": _embedding_near_dup_oracle(),
+        "q_lsh_topk": _lsh_topk_oracle(),
     }

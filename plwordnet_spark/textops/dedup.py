@@ -33,10 +33,12 @@ __all__ = [
     "exact_dedup",
     "word_shingles_expr",
     "minhash_signatures",
+    "minhash_candidate_pairs",
     "minhash_lsh_dedup",
     "simhash_fingerprints",
     "simhash_near_dup_pairs",
     "ngram_jaccard_pairs",
+    "exact_jaccard_for_pairs",
 ]
 
 
@@ -97,6 +99,39 @@ def _band_table(sig: DataFrame, id_col: str, n_hashes: int, n_bands: int) -> Dat
     ).select(id_col, F.col("_b.band").alias("band"), F.col("_b.code").alias("code"))
 
 
+def minhash_candidate_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 32,
+    n_bands: int = 16,
+    shingle_n: int = 3,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """(id_a, id_b) candidate pairs sharing ≥1 LSH band bucket — the
+    candidate-generation stage alone, for pipelines that verify with
+    exact similarity (:func:`exact_jaccard_for_pairs`) instead of the
+    signature estimate. Default 16 bands × 2 rows biases to recall
+    (collision probability ≈ 1 at Jaccard 0.8) since the exact verify
+    restores precision."""
+    sig = minhash_signatures(docs, id_col, text_col, n_hashes, shingle_n)
+    bands = _band_table(sig, id_col, n_hashes, n_bands)
+    sizes = bands.groupBy("band", "code").agg(F.count(F.lit(1)).alias("n"))
+    bands = bands.join(
+        sizes.filter(F.col("n") <= max_bucket).select("band", "code"),
+        ["band", "code"],
+        "left_semi",
+    )
+    a = bands.select("band", "code", F.col(id_col).alias("id_a"))
+    b = bands.select("band", "code", F.col(id_col).alias("id_b"))
+    return (
+        a.join(b, ["band", "code"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
 def minhash_lsh_dedup(
     spark: SparkSession,
     docs: DataFrame,
@@ -148,16 +183,19 @@ def minhash_lsh_dedup(
         .select("id_a", "id_b", "est_jaccard")
     ).cache()  # consumed by CC iteration AND returned to the caller —
     # without this every consumer re-runs the signature pipeline
-    # transitive closure with our own CC job; keep min-id per cluster
+    # transitive closure with our own CC job; keep min-id per cluster.
+    # CC runs ONLY over ids that appear in dup_pairs — every other doc is
+    # its own component by construction, so at 10^10 docs the iterated CC
+    # state covers just the (typically ≪1%) dup-participating ids instead
+    # of the full document universe.
     from plwordnet_spark.graph.components import connected_components
 
     edges = dup_pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    ids = docs.select(F.col(id_col).alias("id"))
-    assign = connected_components(spark, edges, nodes=ids, method="two-phase").state
-    keep = assign.filter(F.col("id") == F.col("component")).select(
+    assign = connected_components(spark, edges, method="two-phase").state
+    drop = assign.filter(F.col("id") != F.col("component")).select(
         F.col("id").alias(id_col)
     )
-    kept = docs.join(keep, id_col, "left_semi")
+    kept = docs.join(drop, id_col, "left_anti")
     sig.unpersist()
     return kept, dup_pairs
 
@@ -205,15 +243,26 @@ def simhash_near_dup_pairs(
 ) -> DataFrame:
     """(id_a, id_b, hamming) pairs with distance ≤ max_hamming.
 
-    Candidates match on any of four 16-bit chunks (pigeonhole: distance
-    ≤ 3 guarantees one equal chunk); verify with bit_count(xor)."""
+    Candidates match on any of ``max_hamming + 1`` bit chunks
+    (pigeonhole: ≤ max_hamming differing bits leave at least one chunk
+    equal — full recall by construction); verify with bit_count(xor).
+    More chunks = wider candidate fan-out, so high max_hamming trades
+    join cost for the guarantee."""
+    n_chunks = max_hamming + 1
+    if n_chunks > 16:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs {n_chunks} chunks; 64-bit "
+            "fingerprints support at most 16 (4-bit chunks)"
+        )
+    width = 64 // n_chunks
+    mask = (1 << width) - 1
     fp = simhash_fingerprints(docs, id_col, text_col)
     chunks = [
         F.struct(
             F.lit(c).alias("chunk"),
-            F.shiftright(F.col("simhash"), c * 16).bitwiseAND(F.lit(0xFFFF)).alias("code"),
+            F.shiftright(F.col("simhash"), c * width).bitwiseAND(F.lit(mask)).alias("code"),
         )
-        for c in range(4)
+        for c in range(n_chunks)
     ]
     banded = fp.select(
         id_col, "simhash", F.explode(F.array(*chunks)).alias("_c")
@@ -226,6 +275,50 @@ def simhash_near_dup_pairs(
         .select("id_a", "id_b", F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))).alias("hamming"))
         .distinct()
         .filter(F.col("hamming") <= F.lit(max_hamming))
+    )
+
+
+def exact_jaccard_for_pairs(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard for an explicit candidate-pair table.
+
+    ``pairs``: (id_a, id_b). Returns (id_a, id_b, jaccard) — the verify
+    stage of a production near-dup pipeline: cheap hash-based candidate
+    generation (MinHash bands / SimHash chunks) followed by exact set
+    similarity only on the candidates. Pairs sharing zero shingles are
+    dropped (their Jaccard is 0 — below any useful threshold).
+    """
+    shingled = docs.select(
+        F.col(id_col),
+        F.explode(word_shingles_expr(F.col(text_col), shingle_n)).alias("sh"),
+    )
+    sizes = shingled.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    sh_a = shingled.select(F.col(id_col).alias("id_a"), "sh")
+    sh_b = shingled.select(F.col(id_col).alias("id_b"), "sh")
+    common = (
+        pairs.select("id_a", "id_b")
+        .join(sh_a, "id_a")
+        .join(sh_b, ["id_b", "sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("size_b"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("common") / (F.col("size_a") + F.col("size_b") - F.col("common"))
+            ).alias("jaccard"),
+        )
     )
 
 

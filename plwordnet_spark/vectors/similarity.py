@@ -19,10 +19,20 @@ provides
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["cosine_expr", "cosine_topk", "lsh_bucketed_topk", "cosine_pairs"]
+__all__ = [
+    "cosine_expr",
+    "cosine_topk",
+    "lsh_bucketed_topk",
+    "cosine_pairs",
+    "LshIndex",
+]
 
 
 def cosine_expr(a, b):
@@ -62,18 +72,6 @@ def cosine_topk(
     )
 
 
-def _signature_bits(vec_col, planes: list[list[float]]):
-    """Sign bits of dot products with fixed random hyperplanes."""
-    bits = []
-    for plane in planes:
-        arr = F.array(*[F.lit(float(x)) for x in plane])
-        dot = F.aggregate(
-            F.zip_with(vec_col, arr, lambda x, y: x * y), F.lit(0.0), lambda a, v: a + v
-        )
-        bits.append(F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)))
-    return bits
-
-
 def _random_planes(dim: int, n_bits: int, seed: int) -> list[list[float]]:
     import random
 
@@ -81,19 +79,41 @@ def _random_planes(dim: int, n_bits: int, seed: int) -> list[list[float]]:
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_bits)]
 
 
+def _band_codes_udf(dim: int, n_bands: int, band_bits: int, seed: int):
+    """Arrow-batched band-code computation: one numpy matmul of the batch
+    against the (n_bits × dim) plane matrix, sign bits packed MSB-first
+    into per-band integer codes.
+
+    This replaces the previous per-plane ``aggregate(zip_with(...))``
+    plan-literal construction, which at production dims (e.g. 1152 × 64
+    bits) inlined ~74k literal expressions into a single projection and
+    blew up Catalyst analysis long before data size mattered. The plane
+    matrix rides the UDF closure (dim·bits·8 bytes — ~600 KB at 1152×64,
+    shipped once per executor, cached by worker reuse).
+    """
+    planes_t = np.asarray(
+        _random_planes(dim, n_bands * band_bits, seed), dtype=np.float64
+    ).T  # (dim, n_bits)
+    weights = (1 << np.arange(band_bits - 1, -1, -1)).astype(np.int64)
+
+    @F.pandas_udf("array<long>")
+    def band_codes(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in batches:
+            m = np.stack(s.to_numpy()).astype(np.float64)  # (rows, dim)
+            bits = (m @ planes_t) >= 0.0  # (rows, n_bits)
+            codes = bits.reshape(len(m), n_bands, band_bits).astype(np.int64) @ weights
+            yield pd.Series(list(codes))
+
+    return band_codes
+
+
 def _with_bands(df: DataFrame, vec_col: str, dim: int, n_bands: int, band_bits: int, seed: int) -> DataFrame:
-    planes = _random_planes(dim, n_bands * band_bits, seed)
-    bits = _signature_bits(F.col(vec_col), planes)
-    bands = []
-    for b in range(n_bands):
-        chunk = bits[b * band_bits : (b + 1) * band_bits]
-        code = chunk[0]
-        for bit in chunk[1:]:
-            code = code * 2 + bit
-        bands.append(F.struct(F.lit(b).alias("band"), code.alias("code")))
-    return df.withColumn("_band", F.explode(F.array(*bands))).select(
-        "*", F.col("_band.band").alias("band"), F.col("_band.code").alias("code")
-    ).drop("_band")
+    codes = _band_codes_udf(dim, n_bands, band_bits, seed)
+    return (
+        df.withColumn("_codes", codes(F.col(vec_col)))
+        .select("*", F.posexplode("_codes").alias("band", "code"))
+        .drop("_codes")
+    )
 
 
 def lsh_bucketed_topk(
@@ -159,3 +179,71 @@ def cosine_pairs(
         cand.select("id_a", "id_b", cosine_expr(F.col("_va"), F.col("_vb")).alias("sim"))
         .filter(F.col("sim") >= F.lit(threshold))
     )
+
+
+class LshIndex:
+    """Persisted LSH index: the banded corpus signature table, staged ONCE.
+
+    The reference builds its ANN index once in Milvus and serves many
+    query batches against it (initializer.py:208-244); the Spark analog
+    is this staged table — ``(corpus_id, vector, band, code)`` written to
+    parquet pre-partitioned on the join key — so repeated ``topk`` calls
+    never recompute corpus signatures (plan reads the staged scan only).
+
+    At cluster scale, stage into a bucketed table (``bucketBy(band,
+    code)`` + ``saveAsTable``) to also skip the corpus-side shuffle per
+    query batch; plain parquet keeps this sandbox path warehouse-free.
+    """
+
+    def __init__(
+        self,
+        spark,
+        path: str,
+        dim: int,
+        n_bands: int = 8,
+        band_bits: int = 8,
+        seed: int = 42,
+        corpus_id: str = "vec_id",
+        vec_col: str = "embedding",
+    ):
+        self.spark = spark
+        self.path = path
+        self.dim = dim
+        self.n_bands = n_bands
+        self.band_bits = band_bits
+        self.seed = seed
+        self.corpus_id = corpus_id
+        self.vec_col = vec_col
+
+    def build(self, corpus: DataFrame) -> None:
+        """One pass over the corpus: compute band codes, stage to disk."""
+        banded = _with_bands(
+            corpus.select(F.col(self.corpus_id), F.col(self.vec_col).alias("_cvec")),
+            "_cvec", self.dim, self.n_bands, self.band_bits, self.seed,
+        )
+        banded.repartition("band", "code").write.mode("overwrite").parquet(self.path)
+
+    def _staged(self) -> DataFrame:
+        return self.spark.read.parquet(self.path)
+
+    def topk(self, queries: DataFrame, k: int = 10, query_id: str = "query_id") -> DataFrame:
+        """Approximate top-k against the staged index — only the (small)
+        query side computes signatures; the corpus side is a plain scan."""
+        q = _with_bands(
+            queries.select(F.col(query_id), F.col(self.vec_col).alias("_qvec")),
+            "_qvec", self.dim, self.n_bands, self.band_bits, self.seed,
+        )
+        candidates = (
+            self._staged()
+            .join(q, ["band", "code"])
+            .select(query_id, self.corpus_id, "_qvec", "_cvec")
+            .dropDuplicates([query_id, self.corpus_id])
+        )
+        scored = candidates.select(
+            query_id, self.corpus_id,
+            cosine_expr(F.col("_qvec"), F.col("_cvec")).alias("sim"),
+        )
+        w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.col(self.corpus_id))
+        return scored.withColumn("rank", F.row_number().over(w)).filter(
+            F.col("rank") <= F.lit(k)
+        )
