@@ -44,7 +44,9 @@ def balance_arithmetic(low_count: int, high_count: int, ratio: float = 2.0) -> d
         )
     if low_count == 0:
         return {"add_examples": int(math.ceil(high_count * ratio)), "l_h_ratio": 0}
-    add_examples = int(math.ceil(ratio * (low_count * (high_count / low_count)) + 1)) - low_count
+    # truncating int(), not ceil — exact reference arithmetic
+    # (embedder.py:911-913 computes int(ratio * high + 1) - low)
+    add_examples = int(ratio * (low_count * (high_count / low_count)) + 1) - low_count
     add_examples = max(add_examples, 0)
     l_h_ratio = int(round(0.5 + add_examples / low_count))
     return {"add_examples": add_examples, "l_h_ratio": l_h_ratio}
@@ -82,6 +84,7 @@ def negative_synthesis(
         .select(
             F.col("text").alias(text_parent_col),
             F.col("next_text").alias(text_child_col),
+            F.col("h"),
         )
         .filter(F.col(text_parent_col) != F.col(text_child_col))
     )
@@ -97,5 +100,9 @@ def negative_synthesis(
         "relation_name", F.lit("synthetic_negative")
     )
     if max_count is not None:
-        negatives = negatives.limit(max_count)
-    return negatives
+        # deterministic cap: order by the seeded shuffle hash before the
+        # limit — which negatives survive is a pure function of (data,
+        # seed), not of partition scheduling (reference semantics: a cap
+        # over a seeded-shuffled list, embedder.py:709)
+        negatives = negatives.orderBy("h", text_parent_col).limit(max_count)
+    return negatives.drop("h")

@@ -15,12 +15,36 @@ Reference semantics (SURVEY.md §2.9):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["train_test_split", "priority_dedup", "sentence_pair_explode"]
+__all__ = [
+    "train_test_split",
+    "priority_dedup",
+    "sentence_pair_explode",
+    "make_splitter_udf",
+]
 
 _SENTENCE_SPLIT_RE = r"(?<=[.!?])\s+"
+
+
+def make_splitter_udf(splitter: Callable[[str], list[str]]):
+    """Wrap a ``text -> list[sentence]`` callable (e.g. a spaCy pipeline's
+    sentencizer, reference lexical_unit.py:333-403) as an Arrow-batched
+    pandas UDF — the injection seam for model-based sentence splitting.
+    The callable rides the UDF closure; heavy models should lazy-load on
+    first call and cache in a module global (see
+    vectors.hash_embed.make_encoder_udf for the pattern)."""
+
+    @F.pandas_udf("array<string>")
+    def split_sentences(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in batches:
+            yield s.fillna("").astype(str).map(lambda t: list(splitter(t)))
+
+    return split_sentences
 
 
 def train_test_split(
@@ -62,14 +86,24 @@ def sentence_pair_explode(
     col2: str = "text_child",
     out1: str = "sentence1",
     out2: str = "sentence2",
+    splitter: Callable[[str], list[str]] | None = None,
 ) -> DataFrame:
     """Each row → cross product of its two texts' sentences (two explodes
-    = within-row cartesian, B5). Sentence splitting is the deterministic
-    regex splitter (SURVEY.md §2.3 T8 — spaCy replaced for the synthetic
-    corpus; the UDF seam stays if a model-based splitter is plugged in)."""
+    = within-row cartesian, B5). Default splitting is the deterministic
+    JVM regex (SURVEY.md §2.3 T8); pass ``splitter`` (text → sentences,
+    e.g. a spaCy sentencizer, reference lexical_unit.py:333-403) to route
+    both columns through an Arrow-batched pandas UDF instead."""
+    if splitter is None:
+        def split_col(c: str) -> Column:
+            return F.split(F.col(c), _SENTENCE_SPLIT_RE)
+    else:
+        split_udf = make_splitter_udf(splitter)
+
+        def split_col(c: str) -> Column:
+            return split_udf(F.col(c))
     return (
-        df.withColumn("_s1", F.split(F.col(col1), _SENTENCE_SPLIT_RE))
-        .withColumn("_s2", F.split(F.col(col2), _SENTENCE_SPLIT_RE))
+        df.withColumn("_s1", split_col(col1))
+        .withColumn("_s2", split_col(col2))
         .withColumn(out1, F.explode("_s1"))
         .withColumn(out2, F.explode("_s2"))
         .filter((F.length(out1) > 0) & (F.length(out2) > 0))

@@ -26,6 +26,7 @@ offsets), functionally equivalent for the gather.
 from __future__ import annotations
 
 import os
+import uuid
 
 import numpy as np
 import pandas as pd
@@ -34,8 +35,19 @@ from pyspark.sql import functions as F
 
 __all__ = ["CsrAdjacency"]
 
-# worker-process-global cache: (stage_token, bucket) → CSR block
+# worker-process-global cache: (adj_dir, stage_token, bucket) → CSR block.
+# The token changes on every stage() — re-staging a different edge table
+# into the same directory invalidates reused workers' cached blocks, and
+# inserting under a new token evicts the directory's stale entries so
+# worker memory stays bounded across repeated runs.
 _CSR_CACHE: dict = {}
+
+
+def _cache_put(adj_dir: str, token: str, bucket: int, block) -> None:
+    stale = [k for k in _CSR_CACHE if k[0] == adj_dir and k[1] != token]
+    for k in stale:
+        del _CSR_CACHE[k]
+    _CSR_CACHE[(adj_dir, token, bucket)] = block
 
 
 def _load_block(adj_dir: str, bucket: int):
@@ -77,7 +89,19 @@ class CsrAdjacency:
         self.spark = spark
         self.adj_dir = os.path.join(workdir, "csr_adjacency")
         self.n_buckets = n_buckets
-        self.token = self.adj_dir  # cache key; one staging per directory
+        # resume path: a previously staged directory carries its token
+        self.token = self._read_token()
+
+    @property
+    def _token_path(self) -> str:
+        return os.path.join(self.adj_dir, "_stage_token")
+
+    def _read_token(self) -> str | None:
+        try:
+            with open(self._token_path, encoding="utf-8") as fh:
+                return fh.read().strip()
+        except OSError:
+            return None
 
     def stage(self, edges_with_share: DataFrame) -> None:
         """One-time write: edges(src, dst, share) → parquet bucketed by
@@ -91,6 +115,9 @@ class CsrAdjacency:
             .partitionBy("part")
             .parquet(self.adj_dir)
         )
+        self.token = uuid.uuid4().hex
+        with open(self._token_path, "w", encoding="utf-8") as fh:
+            fh.write(self.token)
 
     def bucket_col(self, id_col):
         """The same bucketing expression for the rank side — identical
@@ -100,6 +127,8 @@ class CsrAdjacency:
     def gather(self, ranks_with_part: DataFrame) -> DataFrame:
         """ranks(part, id, rank) → partial contributions (dst, partial):
         per-bucket numpy gather + in-bucket dst partial sums."""
+        if self.token is None:
+            raise RuntimeError("CsrAdjacency.gather before stage(): no stage token")
         adj_dir, token = self.adj_dir, self.token
 
         def _gather(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -108,11 +137,11 @@ class CsrAdjacency:
                     {"dst": "int64", "partial": "float64"}
                 )
             bucket = int(pdf["part"].iloc[0])
-            key = (token, bucket)
+            key = (adj_dir, token, bucket)
             block = _CSR_CACHE.get(key)
             if block is None:
                 block = _load_block(adj_dir, bucket)
-                _CSR_CACHE[key] = block if block is not None else "empty"
+                _cache_put(adj_dir, token, bucket, block if block is not None else "empty")
             if block in (None, "empty"):
                 return pd.DataFrame({"dst": [], "partial": []}).astype(
                     {"dst": "int64", "partial": "float64"}

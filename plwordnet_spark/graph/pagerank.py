@@ -52,6 +52,7 @@ def pagerank(
     csr_workdir: str | None = None,
     csr_buckets: int | None = None,
     auto_tune: bool = True,
+    retain_snapshots: int | None = None,
 ) -> PregelResult:
     """edges(src, dst[, weight[, salt]]) → ranks(id, rank) summing to 1.
 
@@ -84,6 +85,7 @@ def pagerank(
             spark, edge_w, ids, alpha, tol, max_iterations, checkpoint_dir,
             checkpoint_interval, salted_gather, n_salts, initial_ranks,
             start_iteration, check_interval, use_csr, csr_workdir, csr_buckets,
+            retain_snapshots,
         )
 
 
@@ -91,6 +93,7 @@ def _pagerank_loop(
     spark, edge_w, ids, alpha, tol, max_iterations, checkpoint_dir,
     checkpoint_interval, salted_gather, n_salts, initial_ranks,
     start_iteration, check_interval, use_csr, csr_workdir, csr_buckets,
+    retain_snapshots=None,
 ) -> PregelResult:
     ids = ids.repartition("id").cache()
     n_nodes = ids.count()
@@ -113,12 +116,15 @@ def _pagerank_loop(
     scatter.count()  # materialize before the loop
 
     adj = None
+    tmp_workdir = None
     if use_csr:
         import tempfile
 
         from plwordnet_spark.graph.csr import CsrAdjacency
 
-        workdir = csr_workdir or tempfile.mkdtemp(prefix="plwn_csr_")
+        if csr_workdir is None:
+            tmp_workdir = tempfile.mkdtemp(prefix="plwn_csr_")
+        workdir = csr_workdir or tmp_workdir
         buckets = csr_buckets or spark.sparkContext.defaultParallelism
         adj = CsrAdjacency(spark, workdir, buckets)
         adj.stage(scatter)
@@ -228,8 +234,17 @@ def _pagerank_loop(
         # the step consumes ranks linearly (single reference in the gather
         # join), so the soft-persist chain is safe and saves one job/iter
         truncate_interval=4,
+        retain_snapshots=retain_snapshots,
     )
-    result = runner.run(init, step, l1_delta, start_iteration=start_iteration)
+    try:
+        result = runner.run(init, step, l1_delta, start_iteration=start_iteration)
+    finally:
+        if tmp_workdir is not None:
+            # the final state is materialized by the runner (eager
+            # localCheckpoint / snapshot) before we drop the staged blocks
+            import shutil
+
+            shutil.rmtree(tmp_workdir, ignore_errors=True)
     scatter.unpersist()
     dangling.unpersist()
     ids.unpersist()

@@ -97,11 +97,16 @@ class PregelRunner:
         checkpoint_interval: int = 5,
         check_interval: int = 1,
         truncate_interval: int = 1,
+        retain_snapshots: int | None = None,
     ):
         self.spark = spark
         self.max_iterations = max_iterations
         self.tol = tol
         self.checkpoint_interval = checkpoint_interval
+        # snapshot retention: keep the newest N state copies on disk
+        # (min 2 — the delta action still scans the previous state);
+        # None = keep everything (audit mode)
+        self.retain_snapshots = max(2, retain_snapshots) if retain_snapshots else None
         # convergence-check cadence: >1 skips the delta action on
         # intermediate iterations (the job may overshoot convergence by
         # up to check_interval-1 iterations — monotone algorithms only)
@@ -165,6 +170,10 @@ class PregelRunner:
             }
             if self.store:
                 self.store.update_metrics(iteration, entry)
+                if self.retain_snapshots is not None:
+                    # prune only after the delta action: the old state's
+                    # plan may read the previous snapshot's files
+                    self.store.prune(keep_last=self.retain_snapshots)
             # soft-persisted ancestors may back the (lazy) new state; only
             # release them once a hard cut has re-materialized from scratch
             pending_unpersist.append(state)

@@ -98,11 +98,35 @@ class SnapshotStore:
                 break
         self._write_manifest(entries)
 
+    def prune(self, keep_last: int = 2) -> list[int]:
+        """Retention: drop all but the newest ``keep_last`` snapshots
+        (Iceberg ``expireSnapshots`` analog). Data directories are
+        deleted, manifest entries are retained with ``"expired": true``
+        so the iteration-metrics history survives retention. Returns the
+        expired snapshot ids. A 100-iteration checkpointed run therefore
+        holds ≤ keep_last full-state copies on disk instead of growing
+        without bound."""
+        import shutil
+
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1: the newest snapshot is the resume point")
+        entries = self.manifest()
+        live = [e for e in entries if not e.get("expired")]
+        expired_ids = []
+        for entry in live[:-keep_last] if keep_last < len(live) else []:
+            shutil.rmtree(entry["path"], ignore_errors=True)
+            entry["expired"] = True
+            entry["partition_lineage"] = []
+            expired_ids.append(entry["snapshot_id"])
+        if expired_ids:
+            self._write_manifest(entries)
+        return expired_ids
+
     def latest(self) -> tuple[DataFrame, dict] | None:
         """(state, manifest entry) of the newest committed snapshot, or
         None — this is the resume entry point."""
         entries = self.manifest()
-        if not entries:
+        entry = next((e for e in reversed(entries) if not e.get("expired")), None)
+        if entry is None:
             return None
-        entry = entries[-1]
         return self.spark.read.parquet(entry["path"]), entry

@@ -79,8 +79,17 @@ def stream_pages_to_edges(
     store = SnapshotStore(spark, edges_dir)
 
     def _merge(batch_pages: DataFrame, batch_id: int) -> None:
-        new_edges = _batch_edges(batch_pages)
         latest = store.latest()
+        # idempotency guard: foreachBatch is at-least-once — if the job
+        # died after the snapshot committed but before the streaming
+        # checkpoint did, the replayed micro-batch must NOT be merged
+        # again (additive weights would double-count). Same batch_id
+        # already in the manifest → skip (the reference's resumable
+        # skip-already-done pattern, wrappers.py:292-304).
+        if latest is not None and latest[1]["metrics"].get("batch_id") is not None \
+                and int(latest[1]["metrics"]["batch_id"]) >= int(batch_id):
+            return
+        new_edges = _batch_edges(batch_pages)
         if latest is None:
             merged = new_edges.select("src", "dst", "rel_id", "weight")
         else:

@@ -109,11 +109,10 @@ def _band_codes_udf(dim: int, n_bands: int, band_bits: int, seed: int):
 
 def _with_bands(df: DataFrame, vec_col: str, dim: int, n_bands: int, band_bits: int, seed: int) -> DataFrame:
     codes = _band_codes_udf(dim, n_bands, band_bits, seed)
-    return (
-        df.withColumn("_codes", codes(F.col(vec_col)))
-        .select("*", F.posexplode("_codes").alias("band", "code"))
-        .drop("_codes")
-    )
+    # posexplode the UDF call inside ONE generate operator: a staged
+    # intermediate column would let projection collapse inline (and
+    # evaluate) the Arrow UDF twice in the physical plan
+    return df.select("*", F.posexplode(codes(F.col(vec_col))).alias("band", "code"))
 
 
 def lsh_bucketed_topk(
