@@ -369,6 +369,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_simhash_near_dup": lambda s, d: _q_simhash(s, d),
         "q_embedding_near_dup": lambda s, d: _q_embedding_near_dup(s, d),
         "q_lsh_topk": lambda s, d: _q_lsh_topk(s, d),
+        # --- textops / vectors round-2 additions ---
+        "q_ngram_jaccard": lambda s, d: _q_ngram_jaccard(s, d),
+        "q_language_id": lambda s, d: _q_language_id(s, d),
+        "q_quality_score": lambda s, d: _q_quality_score(s, d),
+        "q_impute_missing": lambda s, d: _q_impute_missing(s, d),
     }
 
 
@@ -571,6 +576,57 @@ def _q_weighted_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard via the inverted-index self-join (the
+    operator itself, not the LSH pipelines)."""
+    from plwordnet_spark.textops.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return ngram_jaccard_pairs(docs, threshold=0.5, max_df=1_000_000).select(
+        "id_a", "id_b", F.round("jaccard", 4).alias("jaccard")
+    )
+
+
+def _q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from plwordnet_spark.textops.quality import language_id
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", language_id(F.col("text")).alias("lang_pred"))
+
+
+def _q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from plwordnet_spark.textops.quality import quality_features
+
+    docs = _t(spark, sf_dir, "documents")
+    q = docs.select("doc_id", quality_features(F.col("text")).alias("q"))
+    return q.select(
+        "doc_id",
+        F.col("q.n_tokens").alias("n_tokens"),
+        F.round("q.punct_ratio", 6).alias("punct_ratio"),
+        F.round("q.mean_word_len", 6).alias("mean_word_len"),
+        F.round("q.quality_score", 6).alias("quality_score"),
+    )
+
+
+def _q_impute_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J10/A4: null vectors imputed with their group's mean (reference
+    lexical_unit_empty.py semantics); nulls synthesized deterministically
+    so the oracle can replay them."""
+    from plwordnet_spark.vectors.pooling import impute_missing_by_group
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.when(F.col("vec_id") % 7 == 0, F.lit(None)).otherwise(
+            F.col("embedding").cast("array<double>")
+        ).alias("embedding"),
+    )
+    imputed = impute_missing_by_group(emb, ["label"])
+    return imputed.select("vec_id", F.posexplode("embedding").alias("pos", "x")).select(
+        "vec_id", "pos", F.round("x", 6).alias("x")
+    )
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL (DuckDB dialect, same column names and rounding)
 # ---------------------------------------------------------------------------
@@ -667,6 +723,73 @@ _JACCARD_PAIRS_ORACLE = (
     f"SELECT id_a, id_b, ROUND(jaccard, 4) AS jaccard FROM jac "
     f"WHERE jaccard >= {_DUP_THRESHOLD}"
 )
+
+
+# mirrors textops.quality._words: lower → trim → split \s+ → drop empties
+_WORDS_SQL = r"list_filter(string_split_regex(trim(lower(text)), '\s+'), w -> length(w) > 0)"
+
+_PL_SQL = "['i','w','z','na','do','nie','się','jest','to','że','po','dla','od','przez','oraz','ale','jak','co','tak','przy']"
+_EN_SQL = "['the','of','and','to','in','a','is','that','it','for','on','with','as','are','this','be','at','by','or','an']"
+
+
+def _stop_ratio_sql(stop_list: str) -> str:
+    return (
+        f"CASE WHEN len(ws) > 0 THEN "
+        f"len(list_filter(ws, w -> list_contains({stop_list}, w))) / len(ws) "
+        f"ELSE 0.0 END"
+    )
+
+
+def _language_id_oracle() -> str:
+    return f"""
+        WITH w AS (SELECT doc_id, {_WORDS_SQL} AS ws FROM documents),
+        r AS (SELECT doc_id, {_stop_ratio_sql(_PL_SQL)} AS pl,
+                     {_stop_ratio_sql(_EN_SQL)} AS en FROM w)
+        SELECT doc_id,
+               CASE WHEN pl < 0.02 AND en < 0.02 THEN 'unknown'
+                    WHEN pl >= en THEN 'pl' ELSE 'en' END AS lang_pred
+        FROM r
+    """
+
+
+def _quality_score_oracle() -> str:
+    # exact replicas of quality_features' float expressions (same op
+    # order) so the 6-decimal rounds agree bit-for-bit
+    punct = (
+        r"CASE WHEN length(text) > 0 THEN (length(text) - "
+        r"length(regexp_replace(text, '[^\p{L}\p{N}\s]', '', 'g'))) "
+        r"/ length(text) ELSE 0.0 END"
+    )
+    nondigit = (
+        "CASE WHEN length(text) > 0 THEN (length(text) - "
+        "length(regexp_replace(text, '[^0-9]', '', 'g'))) "
+        "/ length(text) ELSE 0.0 END"
+    )
+    return f"""
+        WITH w AS (SELECT doc_id, text, {_WORDS_SQL} AS ws FROM documents),
+        feats AS (
+            SELECT doc_id,
+                   CAST(len(ws) AS INTEGER) AS n_tokens,
+                   {punct} AS punct,
+                   CASE WHEN length(text) > 0 THEN 1.0 - ({nondigit}) ELSE 0.0 END AS digit_ratio,
+                   CASE WHEN len(ws) > 0 THEN
+                       list_sum(list_transform(ws, w -> length(w))) / len(ws)
+                   ELSE 0.0 END AS mean_word_len,
+                   greatest({_stop_ratio_sql(_PL_SQL)}, {_stop_ratio_sql(_EN_SQL)}) AS stop
+            FROM w
+        )
+        SELECT doc_id, n_tokens,
+               ROUND(punct, 6) AS punct_ratio,
+               ROUND(mean_word_len, 6) AS mean_word_len,
+               ROUND(greatest(
+                   1.0
+                   - (CASE WHEN punct > 0.3 THEN punct - 0.3 ELSE 0.0 END)
+                   - (CASE WHEN digit_ratio > 0.3 THEN digit_ratio - 0.3 ELSE 0.0 END)
+                   - (CASE WHEN n_tokens < 5 THEN 0.5 ELSE 0.0 END)
+                   - (CASE WHEN stop < 0.05 THEN 0.2 ELSE 0.0 END),
+                   0.0), 6) AS quality_score
+        FROM feats
+    """
 
 
 def _lsh_banded_sql(src: str, id_expr: str, n_bands: int, band_bits: int,
@@ -1015,4 +1138,34 @@ def oracle_sql() -> dict[str, str]:
         "q_simhash_near_dup": _JACCARD_PAIRS_ORACLE,
         "q_embedding_near_dup": _embedding_near_dup_oracle(),
         "q_lsh_topk": _lsh_topk_oracle(),
+        "q_ngram_jaccard": (
+            f"WITH {_JACCARD_SQL_CTES} "
+            "SELECT id_a, id_b, ROUND(jaccard, 4) AS jaccard FROM jac "
+            "WHERE jaccard >= 0.5"
+        ),
+        "q_language_id": _language_id_oracle(),
+        "q_quality_score": _quality_score_oracle(),
+        "q_impute_missing": """
+            WITH e AS (
+                SELECT vec_id, label,
+                       CASE WHEN vec_id % 7 = 0 THEN NULL
+                            ELSE CAST(embedding AS DOUBLE[]) END AS v
+                FROM embeddings
+            ),
+            means AS (
+                SELECT label, pos, AVG(x) AS mx FROM (
+                    SELECT label, unnest(range(len(v))) AS pos, unnest(v) AS x
+                    FROM e WHERE v IS NOT NULL
+                ) GROUP BY 1, 2
+            ),
+            exploded AS (
+                SELECT e.vec_id, m.pos, m.mx AS x
+                FROM e JOIN means m ON e.label = m.label WHERE e.v IS NULL
+                UNION ALL
+                SELECT vec_id, unnest(range(len(v))) AS pos, unnest(v) AS x
+                FROM e WHERE v IS NOT NULL
+            )
+            SELECT vec_id, CAST(pos AS INTEGER) AS pos, ROUND(x, 6) AS x
+            FROM exploded
+        """,
     }

@@ -166,16 +166,29 @@ def validate_graph(tables: GraphTables) -> dict:
     (mirrors the reference's RuntimeError on edge-count mismatch,
     db_to_nx.py:342-345).
     """
-    edge_count = tables.edges.count()
-    pair_count = tables.link_pairs.count()
-    node_count = tables.nodes.count()
-    url_count = tables.nodes.select("url").distinct().count()
-    collisions = id_collisions(tables.nodes)
-    dangling_refs = (
+    # three jobs total (one scan per table): node stats in one agg,
+    # edge count + missing-dst refs in one outer-join agg, pair count
+    node_row = tables.nodes.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("url").alias("u"),
+        F.countDistinct("id").alias("i"),
+    ).first()
+    node_count, url_count = int(node_row["n"]), int(node_row["u"])
+    collisions = int(node_row["u"] - node_row["i"])
+    edge_row = (
         tables.edges.join(
-            tables.nodes.select(F.col("id").alias("dst")), "dst", "left_anti"
-        ).count()
+            tables.nodes.select(F.col("id").alias("dst"), F.lit(True).alias("_has")),
+            "dst",
+            "left",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("e"),
+            F.coalesce(F.sum(F.when(F.col("_has").isNull(), 1)), F.lit(0)).alias("d"),
+        )
+        .first()
     )
+    edge_count, dangling_refs = int(edge_row["e"]), int(edge_row["d"])
+    pair_count = tables.link_pairs.count()
     report = {
         "edges": edge_count,
         "link_pairs": pair_count,
