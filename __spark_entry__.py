@@ -8,12 +8,14 @@ SURVEY.md §2, runnable at any sf dir; oracle SQL is DuckDB-compatible
 and column-name/type aligned (counts cast to BIGINT, float aggregates
 rounded on both sides so order-insensitive value hashes match).
 
-Graph-iterative ops (PageRank, components, label propagation) are not
-cleanly SQL-expressible; PageRank/labelprop ship rows-only here and are
-golden-tested against oracles in tests/test_algorithms.py. Triangle
-count and connected components DO get SQL oracles (self-join SQL and a
-recursive CTE respectively) over a small deterministic edge table
-derived from TPC-H keys.
+Every query has a DuckDB oracle (round 2): graph-iterative ops run a
+FIXED iteration count on both sides — PageRank/label propagation get
+unrolled per-iteration CTE chains, connected components a recursive
+CTE, triangles a self-join — all over a small deterministic edge table
+derived from TPC-H keys. Hash-seeded dedup ops (MinHash/SimHash) are
+restructured as candidate-generation + exact-Jaccard verify so the
+oracle can recompute the exact answer; LSH vector ops inline the
+engine's seeded hyperplane constants into the generated SQL.
 """
 
 from __future__ import annotations

@@ -276,11 +276,20 @@ def cmd_report(_args) -> None:
             "|---|---|",
         ] + [f"| {k} | **{v}** |" for k, v in norm.items()] + [
             "",
-            "The engine extracts essentially all of the parallelism this",
-            "host exposes (≥0.8 relative efficiency on every job); the",
-            "absolute ceiling is a property of the shared-host VM, which a",
-            "real N→4N cluster does not share (each executor brings its own",
-            "memory bandwidth and disk).",
+            (
+                "All jobs are ≥0.8 relative to the machine ceiling — the "
+                "engine extracts essentially all of the parallelism this "
+                "host exposes."
+                if norm and min(norm.values()) >= 0.8
+                else (
+                    f"Lowest job-vs-ceiling ratio this window: "
+                    f"{min(norm.values()):.3f} (shared-host variance is "
+                    f"2-3×; see raw runs)."
+                )
+            ),
+            "The absolute ceiling is a property of the shared-host VM,",
+            "which a real N→4N cluster does not share (each executor",
+            "brings its own memory bandwidth and disk).",
             "",
         ]
 
