@@ -299,8 +299,19 @@ def exact_jaccard_for_pairs(
     generation (MinHash bands / SimHash chunks) followed by exact set
     similarity only on the candidates. Pairs sharing zero shingles are
     dropped (their Jaccard is 0 — below any useful threshold).
+
+    Scale shape: the shingle table is first cut to candidate ids with a
+    broadcast semi-join (candidates are ≪ corpus by construction), so
+    the full docs×shingles table is never shuffled — only the candidate
+    slice moves. If the candidate id set outgrows broadcast, drop the
+    hint and AQE falls back to a shuffled semi-join.
     """
-    shingled = docs.select(
+    cand_ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    shingled = docs.join(F.broadcast(cand_ids), id_col, "left_semi").select(
         F.col(id_col),
         F.explode(word_shingles_expr(F.col(text_col), shingle_n)).alias("sh"),
     )
