@@ -523,7 +523,7 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    cand = simhash_near_dup_pairs(docs, max_hamming=10)
+    cand = simhash_near_dup_pairs(docs, max_hamming=15)
     return (
         exact_jaccard_for_pairs(cand, docs)
         .filter(F.col("jaccard") >= F.lit(_DUP_THRESHOLD))
