@@ -1,12 +1,14 @@
-"""Triangle counting via oriented edge self-join (non-iterative).
+"""Triangle counting via degree-oriented edge self-join (non-iterative).
 
-Classic two-join formulation over the canonically-oriented simple
-undirected graph (a < b for every edge): wedges a−b−c with a < b < c from
-one self-join, closed by a semi-check join against the edge set. The
-a<b<c orientation counts each triangle exactly once AND bounds the
-self-join fan-out by the *outgoing* canonical degree — the standard
-mitigation for hub skew in triangle listing (high-degree nodes sort last,
-so hubs mostly appear as wedge endpoints, not centers).
+Classic two-join formulation, with the standard skew guard for
+power-law graphs: every undirected edge is oriented from its
+lower-(degree, id) endpoint to its higher one (a total order). Each
+triangle then has exactly one vertex with two out-edges (its minimum in
+the order), so one self-join on that center + one closing semi-join
+counts every triangle exactly once. Degree orientation bounds a wedge
+center's out-degree by O(√m) — orienting by id alone would make a
+low-id hub a wedge center with O(hub_degree²) fan-out, which is exactly
+the web-graph case (SURVEY.md §1.4 hub skew).
 
 Golden: equals ``sum(networkx.triangles(G).values()) / 3`` globally and
 per-node counts exactly (SURVEY.md §5.2).
@@ -31,14 +33,38 @@ def canonical_undirected(edges: DataFrame) -> DataFrame:
     )
 
 
+def _oriented_by_degree(und: DataFrame) -> DataFrame:
+    """(u, v, kv) edges pointing low→high in the (degree, id) total
+    order; kv is v's sort key, carried for the wedge-ordering filter."""
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .unionAll(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    ka = deg.select(F.col("id").alias("a"), F.struct("deg", F.col("id").alias("n")).alias("ka"))
+    kb = deg.select(F.col("id").alias("b"), F.struct("deg", F.col("id").alias("n")).alias("kb"))
+    keyed = und.join(ka, "a").join(kb, "b")
+    return keyed.select(
+        F.when(F.col("ka") < F.col("kb"), F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(F.col("ka") < F.col("kb"), F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(F.col("ka") < F.col("kb"), F.col("kb")).otherwise(F.col("ka")).alias("kv"),
+    )
+
+
 def _triangle_list(edges: DataFrame) -> DataFrame:
-    """(a, b, c) rows, one per triangle, a < b < c."""
-    und = canonical_undirected(edges)
-    e1 = und.alias("e1")
-    e2 = und.select(F.col("a").alias("b"), F.col("b").alias("c")).alias("e2")
-    wedges = e1.join(e2, "b").select("a", "b", "c")  # a < b < c by construction
-    closing = und.select(F.col("a"), F.col("b").alias("c"))
-    return wedges.join(closing, ["a", "c"], "left_semi")
+    """(x, y, z) rows, one per triangle (x = the (deg, id)-minimum
+    vertex; y, z its out-neighbors in order)."""
+    o = _oriented_by_degree(canonical_undirected(edges)).cache()
+    e1 = o.select("u", F.col("v").alias("y"), F.col("kv").alias("ky"))
+    e2 = o.select("u", F.col("v").alias("z"), F.col("kv").alias("kz"))
+    wedges = (
+        e1.join(e2, "u")
+        .filter(F.col("ky") < F.col("kz"))
+        .select(F.col("u").alias("x"), "y", "z")
+    )
+    closing = o.select(F.col("u").alias("y"), F.col("v").alias("z"))
+    return wedges.join(closing, ["y", "z"], "left_semi")
 
 
 def triangle_count(edges: DataFrame) -> int:
@@ -50,8 +76,8 @@ def triangles_per_node(edges: DataFrame) -> DataFrame:
     """(id, triangles) — each triangle credits its three vertices."""
     tri = _triangle_list(edges)
     exploded = (
-        tri.select(F.col("a").alias("id"))
-        .unionAll(tri.select(F.col("b").alias("id")))
-        .unionAll(tri.select(F.col("c").alias("id")))
+        tri.select(F.col("x").alias("id"))
+        .unionAll(tri.select(F.col("y").alias("id")))
+        .unionAll(tri.select(F.col("z").alias("id")))
     )
     return exploded.groupBy("id").agg(F.count(F.lit(1)).alias("triangles"))
