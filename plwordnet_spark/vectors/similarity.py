@@ -160,13 +160,28 @@ def cosine_pairs(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b, sim) pairs with sim ≥ threshold, id_a < id_b —
-    LSH-bucketed candidate generation + exact verify."""
+    LSH-bucketed candidate generation + exact verify.
+
+    ``max_bucket``: drop band buckets larger than this before the
+    self-join (the minhash-style hot-key guard — a degenerate embedding
+    cluster, e.g. near-zero vectors, otherwise makes one bucket
+    quadratic). Affected vectors still pair through their other bands.
+    Default None = exact LSH semantics (what the driver oracle replays).
+    """
     banded = _with_bands(
         vectors.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")),
         "_vec", dim, n_bands, band_bits, seed,
     )
+    if max_bucket is not None:
+        sizes = banded.groupBy("band", "code").agg(F.count(F.lit(1)).alias("n"))
+        banded = banded.join(
+            sizes.filter(F.col("n") <= max_bucket).select("band", "code"),
+            ["band", "code"],
+            "left_semi",
+        )
     a = banded.select("band", "code", F.col("_id").alias("id_a"), F.col("_vec").alias("_va"))
     b = banded.select("band", "code", F.col("_id").alias("id_b"), F.col("_vec").alias("_vb"))
     cand = (
