@@ -371,6 +371,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_simhash_near_dup": lambda s, d: _q_simhash(s, d),
         "q_embedding_near_dup": lambda s, d: _q_embedding_near_dup(s, d),
         "q_lsh_topk": lambda s, d: _q_lsh_topk(s, d),
+        # --- graph round-2 additions ---
+        "q_bfs_distances": lambda s, d: _q_bfs_distances(s, d),
+        "q_hits": lambda s, d: _q_hits(s, d),
         # --- textops / vectors round-2 additions ---
         "q_ngram_jaccard": lambda s, d: _q_ngram_jaccard(s, d),
         "q_language_id": lambda s, d: _q_language_id(s, d),
@@ -578,6 +581,32 @@ def _q_weighted_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HITS_ITERS = 20
+
+
+def _q_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source unweighted shortest paths (undirected); oracle is a
+    recursive CTE bounded by the node count."""
+    from plwordnet_spark.graph.bfs import bfs_distances
+
+    edges = _derived_edges(spark, sf_dir)
+    res = bfs_distances(spark, edges, sources=[0], directed=False)
+    return res.state.select("id", "dist")
+
+
+def _q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities, fixed-k so the unrolled SQL oracle matches."""
+    from plwordnet_spark.graph.hits import hits
+
+    edges = _derived_edges(spark, sf_dir)
+    res = hits(spark, edges, max_iterations=_HITS_ITERS, tol=0.0)
+    return res.state.select(
+        "id",
+        F.round("hub", 6).alias("hub"),
+        F.round("authority", 6).alias("authority"),
+    )
+
+
 def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard via the inverted-index self-join (the
     operator itself, not the LSH pipelines)."""
@@ -691,6 +720,74 @@ def _lpa_oracle_sql(k: int = _LPA_ITERS) -> str:
             ") WHERE rn = 1) b ON l.id = b.id)"
         )
     return ",\n".join(parts) + f"\nSELECT id, label FROM l{k}"
+
+
+def _bfs_oracle_sql() -> str:
+    """Recursive CTE: enumerate all (node, depth ≤ n) reachings from the
+    source, take MIN per node; unreachable nodes stay NULL."""
+    return f"""
+        WITH RECURSIVE edges AS ({_EDGE_SQL_DERIVATION}),
+        und AS (
+            SELECT DISTINCT u, v FROM (
+                SELECT src AS u, dst AS v FROM edges
+                UNION ALL SELECT dst AS u, src AS v FROM edges
+            ) WHERE u <> v
+        ),
+        ids AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+        reach(id, d) AS (
+            SELECT id, CAST(0 AS BIGINT) AS d FROM ids WHERE id = 0
+            UNION
+            SELECT und.v, reach.d + 1 FROM reach
+            JOIN und ON reach.id = und.u
+            WHERE reach.d < 250
+        )
+        SELECT i.id, MIN(r.d) AS dist
+        FROM ids i LEFT JOIN reach r ON i.id = r.id
+        GROUP BY i.id
+    """
+
+
+def _hits_oracle_sql(k: int = _HITS_ITERS) -> str:
+    """Unrolled fixed-k HITS: per iteration an authority update + L2
+    norm + hub update + L2 norm, all as materialized CTEs (same float
+    op order as graph/hits.py)."""
+    parts = [
+        f"WITH edges AS MATERIALIZED ({_EDGE_SQL_DERIVATION})",
+        "ids AS MATERIALIZED (SELECT src AS id FROM edges UNION SELECT dst FROM edges)",
+        "nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM ids)",
+        "h0 AS MATERIALIZED (SELECT id, 1.0/(SELECT n FROM nn) AS hub FROM ids)",
+    ]
+    for i in range(k):
+        parts.append(
+            f"ar{i} AS MATERIALIZED (SELECT i.id, COALESCE(g.s, 0.0) AS a "
+            "FROM ids i LEFT JOIN ("
+            f"SELECT e.dst AS id, SUM(h.hub) AS s FROM edges e "
+            f"JOIN h{i} h ON h.id = e.src GROUP BY e.dst) g ON i.id = g.id)"
+        )
+        parts.append(
+            f"an{i} AS MATERIALIZED (SELECT sqrt(SUM(a*a)) AS n FROM ar{i})"
+        )
+        parts.append(
+            f"a{i} AS MATERIALIZED (SELECT id, CASE WHEN (SELECT n FROM an{i}) > 0 "
+            f"THEN a/(SELECT n FROM an{i}) ELSE 0.0 END AS a FROM ar{i})"
+        )
+        parts.append(
+            f"hr{i} AS MATERIALIZED (SELECT i.id, COALESCE(g.s, 0.0) AS h "
+            "FROM ids i LEFT JOIN ("
+            f"SELECT e.src AS id, SUM(x.a) AS s FROM edges e "
+            f"JOIN a{i} x ON x.id = e.dst GROUP BY e.src) g ON i.id = g.id)"
+        )
+        parts.append(
+            f"hn{i} AS MATERIALIZED (SELECT sqrt(SUM(h*h)) AS n FROM hr{i})"
+        )
+        parts.append(
+            f"h{i + 1} AS MATERIALIZED (SELECT id, CASE WHEN (SELECT n FROM hn{i}) > 0 "
+            f"THEN h/(SELECT n FROM hn{i}) ELSE 0.0 END AS hub FROM hr{i})"
+        )
+    return ",\n".join(parts) + (
+        f"\nSELECT h.id, ROUND(h.hub, 6) AS hub, ROUND(a.a, 6) AS authority "
+        f"FROM h{k} h JOIN a{k - 1} a ON h.id = a.id"
+    )
 
 
 # exact word-3-gram Jaccard over all pairs sharing ≥1 shingle (complete
@@ -1140,6 +1237,8 @@ def oracle_sql() -> dict[str, str]:
         "q_simhash_near_dup": _JACCARD_PAIRS_ORACLE,
         "q_embedding_near_dup": _embedding_near_dup_oracle(),
         "q_lsh_topk": _lsh_topk_oracle(),
+        "q_bfs_distances": _bfs_oracle_sql(),
+        "q_hits": _hits_oracle_sql(),
         "q_ngram_jaccard": (
             f"WITH {_JACCARD_SQL_CTES} "
             "SELECT id_a, id_b, ROUND(jaccard, 4) AS jaccard FROM jac "

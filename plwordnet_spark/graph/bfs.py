@@ -1,0 +1,99 @@
+"""Unweighted shortest-path distances (multi-source BFS).
+
+Distance flooding on the Pregel runner — the hash-min pattern of
+``graph.components._hashmin`` carrying ``min(dist)+1`` instead of
+``min(id)``: per round one join (frontier dists onto edges) + one
+groupBy(min) gather, both with map-side partial aggregation, state is
+one (id, dist) row per node. Converges in O(eccentricity) rounds; at
+web scale each round's traffic is the changed frontier's rows, never
+the edge table (cached, partition-local).
+
+Beyond the reference (its graphs go to networkx for path queries,
+SURVEY.md §2.10); included because hop-distance from seed sets (e.g.
+trusted domains) is a standard link-graph signal. Goldens vs a
+pure-Python BFS; the driver oracle is a recursive CTE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from plwordnet_spark.graph.pregel import PregelRunner, PregelResult
+
+__all__ = ["bfs_distances"]
+
+
+def bfs_distances(
+    spark: SparkSession,
+    edges: DataFrame,
+    sources: list[int] | DataFrame,
+    nodes: DataFrame | None = None,
+    directed: bool = False,
+    max_iterations: int = 100,
+    checkpoint_dir: str | None = None,
+    checkpoint_interval: int = 5,
+) -> PregelResult:
+    """edges(src, dst, …) → (id, dist) with dist = min #hops from any
+    source id (long; NULL = unreachable within max_iterations)."""
+    if isinstance(sources, DataFrame):
+        src_ids = sources.select("id")
+    else:
+        src_ids = spark.createDataFrame([(int(s),) for s in sources], "id long")
+    ids = (
+        (nodes.select("id") if nodes is not None else
+         edges.select(F.col("src").alias("id"))
+         .unionByName(edges.select(F.col("dst").alias("id"))))
+        .distinct()
+        .cache()
+    )
+    sym = edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    if not directed:
+        sym = sym.unionByName(
+            edges.select(F.col("dst").alias("u"), F.col("src").alias("v"))
+        )
+    sym = sym.filter("u != v").distinct().repartition("u").cache()
+    sym.count()
+
+    init = ids.join(
+        src_ids.withColumn("dist", F.lit(0).cast("long")), "id", "left"
+    ).select("id", "dist")
+
+    def step(state: DataFrame) -> DataFrame:
+        # scatter dist+1 along out-edges of currently-reached nodes only
+        # (the frontier superset); gather min per destination
+        nbr = (
+            sym.join(
+                state.filter(F.col("dist").isNotNull()).withColumnRenamed("id", "u"),
+                "u",
+            )
+            .groupBy(F.col("v").alias("id"))
+            .agg((F.min("dist") + 1).alias("nbr_dist"))
+        )
+        return state.join(nbr, "id", "left").select(
+            "id", F.least(F.col("dist"), F.col("nbr_dist")).alias("dist")
+        )
+
+    def delta(old: DataFrame, new: DataFrame) -> float:
+        changed = (
+            old.withColumnRenamed("dist", "d0")
+            .join(new, "id")
+            .filter(
+                (F.col("d0").isNull() & F.col("dist").isNotNull())
+                | (F.col("d0") != F.col("dist"))
+            )
+            .count()
+        )
+        return float(changed)
+
+    runner = PregelRunner(
+        spark,
+        max_iterations=max_iterations,
+        tol=0.5,
+        checkpoint_dir=checkpoint_dir,
+        checkpoint_interval=checkpoint_interval,
+    )
+    res = runner.run(init, step, delta)
+    sym.unpersist()
+    ids.unpersist()
+    return res

@@ -1,0 +1,123 @@
+"""HITS (hubs & authorities) — Kleinberg's link-analysis pair to PageRank.
+
+Power iteration on the un-normalized adjacency: per round
+``auth_raw(v) = Σ_{u→v} hub(u)`` then L2-normalize, then
+``hub_raw(u) = Σ_{u→v} auth(v)`` then L2-normalize. Each half-round is
+one join + one groupBy-sum (map-side combine absorbs hub in-degree
+skew); the L2 norms stay relational — a one-row aggregate cross-joined
+(broadcast) onto the state, so the driver never collects a vector.
+State is one (id, hub, auth) row per node.
+
+Beyond the reference (networkx-side there); a first-class link-graph
+signal for crawl frontier/quality scoring. Goldens vs a pure-Python
+implementation; the driver oracle unrolls fixed-k iterations in SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from plwordnet_spark.graph.pregel import PregelRunner, PregelResult
+
+__all__ = ["hits"]
+
+
+def hits(
+    spark: SparkSession,
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    max_iterations: int = 50,
+    tol: float = 1e-8,
+    checkpoint_dir: str | None = None,
+    checkpoint_interval: int = 5,
+) -> PregelResult:
+    """edges(src, dst, …) → (id, hub, authority), both L2-normalized.
+
+    ``tol``: converged when the L1 change of the hub vector drops below
+    ``n_nodes · tol``; pass ``tol=0.0`` to run exactly max_iterations
+    (fixed-k mode — what the driver's SQL oracle replays)."""
+    ids = (
+        (nodes.select("id") if nodes is not None else
+         edges.select(F.col("src").alias("id"))
+         .unionByName(edges.select(F.col("dst").alias("id"))))
+        .distinct()
+        .repartition("id")
+        .cache()
+    )
+    n_nodes = ids.count()
+    if n_nodes == 0:
+        return PregelResult(
+            state=spark.createDataFrame([], "id long, hub double, authority double"),
+            iterations=0,
+            converged=True,
+        )
+    links = (
+        edges.select("src", "dst").filter("src != dst").distinct()
+        .repartition("src").cache()
+    )
+    links.count()
+
+    init = ids.select(
+        "id",
+        F.lit(1.0 / n_nodes).alias("hub"),
+        F.lit(1.0 / n_nodes).alias("authority"),
+    )
+
+    def _l2_normalized(df: DataFrame, col: str) -> DataFrame:
+        norm = df.agg(F.sqrt(F.sum(F.col(col) * F.col(col))).alias("_n"))
+        return (
+            df.crossJoin(F.broadcast(norm))
+            .withColumn(
+                col,
+                F.when(F.col("_n") > 0, F.col(col) / F.col("_n")).otherwise(F.lit(0.0)),
+            )
+            .drop("_n")
+        )
+
+    def step(state: DataFrame) -> DataFrame:
+        auth_raw = (
+            links.join(
+                state.select(F.col("id").alias("src"), "hub"), "src"
+            )
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("hub").alias("authority"))
+        )
+        auth = ids.join(auth_raw, "id", "left").select(
+            "id", F.coalesce("authority", F.lit(0.0)).alias("authority")
+        )
+        auth = _l2_normalized(auth, "authority")
+        hub_raw = (
+            links.join(
+                auth.select(F.col("id").alias("dst"), "authority"), "dst"
+            )
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.sum("authority").alias("hub"))
+        )
+        # carry authority THROUGH the hub computation (single reference
+        # to the auth subtree — re-referencing it in a final join would
+        # re-run the auth-side edge join within the same action)
+        combined = auth.join(hub_raw, "id", "left").select(
+            "id", F.coalesce("hub", F.lit(0.0)).alias("hub"), "authority"
+        )
+        return _l2_normalized(combined, "hub").select("id", "hub", "authority")
+
+    def delta(old: DataFrame, new: DataFrame) -> float:
+        return float(
+            old.select("id", F.col("hub").alias("h0"))
+            .join(new.select("id", "hub"), "id")
+            .agg(F.sum(F.abs(F.col("hub") - F.col("h0"))))
+            .first()[0]
+        )
+
+    runner = PregelRunner(
+        spark,
+        max_iterations=max_iterations,
+        tol=n_nodes * tol,
+        checkpoint_dir=checkpoint_dir,
+        checkpoint_interval=checkpoint_interval,
+    )
+    res = runner.run(init, step, delta)
+    links.unpersist()
+    ids.unpersist()
+    return res

@@ -1,0 +1,99 @@
+"""BFS distances + HITS vs pure-Python oracles."""
+
+from __future__ import annotations
+
+import math
+from collections import deque
+
+import pytest
+from pyspark.sql import functions as F
+
+EDGES = [
+    (0, 1), (1, 2), (2, 3), (3, 0), (2, 4), (4, 5), (5, 6),
+    (7, 8),  # separate component
+    (0, 4), (6, 2), (1, 5),
+]
+
+
+def _bfs_py(edges, sources, directed=False):
+    adj: dict = {}
+    nodes = set()
+    for s, d in edges:
+        nodes.update((s, d))
+        adj.setdefault(s, set()).add(d)
+        if not directed:
+            adj.setdefault(d, set()).add(s)
+    dist = {s: 0 for s in sources if s in nodes}
+    q = deque(dist)
+    while q:
+        u = q.popleft()
+        for v in adj.get(u, ()):
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                q.append(v)
+    return {n: dist.get(n) for n in nodes}
+
+
+def _hits_py(edges, iters):
+    nodes = sorted({n for e in edges for n in e})
+    links = sorted(set(edges))
+    hub = {n: 1.0 / len(nodes) for n in nodes}
+    auth = dict(hub)
+    for _ in range(iters):
+        auth = {n: sum(hub[u] for u, v in links if v == n) for n in nodes}
+        norm = math.sqrt(sum(a * a for a in auth.values()))
+        auth = {n: (a / norm if norm > 0 else 0.0) for n, a in auth.items()}
+        hub = {n: sum(auth[v] for u, v in links if u == n) for n in nodes}
+        norm = math.sqrt(sum(h * h for h in hub.values()))
+        hub = {n: (h / norm if norm > 0 else 0.0) for n, h in hub.items()}
+    return hub, auth
+
+
+@pytest.mark.parametrize("directed", [False, True])
+def test_bfs_distances_matches_python(spark, directed):
+    from plwordnet_spark.graph.bfs import bfs_distances
+
+    edges = spark.createDataFrame(EDGES, "src long, dst long")
+    res = bfs_distances(spark, edges, sources=[0, 7], directed=directed)
+    got = {r.id: r.dist for r in res.state.collect()}
+    want = _bfs_py(EDGES, [0, 7], directed=directed)
+    assert got == want
+    assert res.converged
+
+
+def test_bfs_unreachable_is_null(spark):
+    from plwordnet_spark.graph.bfs import bfs_distances
+
+    edges = spark.createDataFrame([(1, 2), (3, 4)], "src long, dst long")
+    res = bfs_distances(spark, edges, sources=[1])
+    got = {r.id: r.dist for r in res.state.collect()}
+    assert got == {1: 0, 2: 1, 3: None, 4: None}
+
+
+def test_hits_matches_python(spark):
+    from plwordnet_spark.graph.hits import hits
+
+    k = 15
+    edges = spark.createDataFrame(EDGES, "src long, dst long")
+    res = hits(spark, edges, max_iterations=k, tol=0.0)
+    assert res.iterations == k
+    hub_py, auth_py = _hits_py(EDGES, k)
+    for r in res.state.collect():
+        assert r.hub == pytest.approx(hub_py[r.id], abs=1e-9), f"hub {r.id}"
+        assert r.authority == pytest.approx(auth_py[r.id], abs=1e-9), f"auth {r.id}"
+    # L2 norms are 1
+    norms = res.state.agg(
+        F.sqrt(F.sum(F.col("hub") * F.col("hub"))).alias("nh"),
+        F.sqrt(F.sum(F.col("authority") * F.col("authority"))).alias("na"),
+    ).first()
+    assert norms["nh"] == pytest.approx(1.0, abs=1e-12)
+    assert norms["na"] == pytest.approx(1.0, abs=1e-12)
+
+
+def test_hits_converges(spark):
+    from plwordnet_spark.graph.hits import hits
+
+    edges = spark.createDataFrame(EDGES, "src long, dst long")
+    res = hits(spark, edges, max_iterations=200, tol=1e-10)
+    assert res.converged
+    assert res.iterations < 200
