@@ -366,6 +366,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_connected_components": lambda s, d: _q_connected_components(s, d),
         # --- graph rows-only (iterative; golden-tested in tests/) ---
         "q_pagerank_top": lambda s, d: _q_pagerank_top(s, d),
+        "q_pagerank_weighted": lambda s, d: _q_pagerank_weighted(s, d),
+        "q_pagerank_personalized": lambda s, d: _q_pagerank_personalized(s, d),
         "q_label_propagation": lambda s, d: _q_label_propagation(s, d),
         "q_minhash_dup_pairs": lambda s, d: _q_minhash_pairs(s, d),
         "q_simhash_near_dup": lambda s, d: _q_simhash(s, d),
@@ -486,6 +488,50 @@ def _q_pagerank_top(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     edges = _derived_edges(spark, sf_dir)
     res = pagerank(spark, edges, tol=0.0, max_iterations=_PR_ITERS, weighted=False)
+    return res.state.select("id", F.round("rank", 8).alias("rank"))
+
+
+def _derived_weighted_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same modded-key graph, edge weight = pair multiplicity."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            (F.col("l_orderkey") % 211).cast("long").alias("src"),
+            (F.col("l_partkey") % 211).cast("long").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("double").alias("weight"))
+    )
+
+
+def _q_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted scatter shares (weight / out-weight) — the reference's
+    relation-weight semantics on the flagship algorithm."""
+    from plwordnet_spark.graph.pagerank import pagerank
+
+    edges = _derived_weighted_edges(spark, sf_dir)
+    res = pagerank(spark, edges, tol=0.0, max_iterations=_PR_ITERS, weighted=True)
+    return res.state.select("id", F.round("rank", 8).alias("rank"))
+
+
+def _q_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic-sensitive teleport: seeds = ids divisible by 5, uniform p
+    over the seed set; dangling mass follows p."""
+    from plwordnet_spark.graph.pagerank import pagerank
+
+    edges = _derived_edges(spark, sf_dir)
+    seeds = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .filter(F.col("id") % 5 == 0)
+        .select("id", F.lit(1.0).alias("p"))
+    )
+    res = pagerank(
+        spark, edges, tol=0.0, max_iterations=_PR_ITERS, weighted=False,
+        personalization=seeds,
+    )
     return res.state.select("id", F.round("rank", 8).alias("rank"))
 
 
@@ -662,36 +708,76 @@ def _q_impute_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oracle SQL (DuckDB dialect, same column names and rounding)
 # ---------------------------------------------------------------------------
 
-def _pagerank_oracle_sql(k: int = _PR_ITERS, alpha: float = 0.85) -> str:
+_WEIGHTED_EDGE_SQL_DERIVATION = """
+    SELECT CAST(l_orderkey % 211 AS BIGINT) AS src,
+           CAST(l_partkey % 211 AS BIGINT) AS dst,
+           CAST(count(*) AS DOUBLE) AS w
+    FROM lineitem
+    WHERE l_orderkey % 211 <> l_partkey % 211
+    GROUP BY 1, 2
+"""
+
+
+def _pagerank_oracle_sql(
+    k: int = _PR_ITERS,
+    alpha: float = 0.85,
+    weighted: bool = False,
+    personalized: bool = False,
+) -> str:
     """Unrolled fixed-k power iteration: exact engine semantics —
-    out-degree-normalized scatter, uniform teleport, dangling mass of the
-    PREVIOUS state redistributed uniformly. One (d_i, r_{i+1}) CTE pair
-    per iteration; per-term float products are identical on both sides,
-    summation-order differences sit ~6 orders below the 8-decimal round."""
+    (out-)weight-normalized scatter, uniform or seed-set teleport,
+    dangling mass of the PREVIOUS state redistributed like the teleport.
+    One (d_i, r_{i+1}) CTE pair per iteration; per-term float products
+    are identical on both sides, summation-order differences sit ~6
+    orders below the 8-decimal round."""
     # AS MATERIALIZED: without it DuckDB inlines each CTE at every
     # reference — r_k's expansion grows exponentially and re-opens the
     # parquet thousands of times (EMFILE)
+    if weighted:
+        edges_cte = f"WITH edges AS MATERIALIZED ({_WEIGHTED_EDGE_SQL_DERIVATION})"
+        outd = "SELECT src AS id, SUM(w) AS od FROM edges GROUP BY src"
+        contrib = "SUM(r.rank * (e.w/o.od))"
+    else:
+        edges_cte = f"WITH edges AS MATERIALIZED ({_EDGE_SQL_DERIVATION})"
+        outd = "SELECT src AS id, CAST(count(*) AS DOUBLE) AS od FROM edges GROUP BY src"
+        contrib = "SUM(r.rank * (1.0/o.od))"
     parts = [
-        f"WITH edges AS MATERIALIZED ({_EDGE_SQL_DERIVATION})",
+        edges_cte,
         "ids AS MATERIALIZED (SELECT src AS id FROM edges UNION SELECT dst FROM edges)",
-        "outd AS MATERIALIZED (SELECT src AS id, CAST(count(*) AS DOUBLE) AS od FROM edges GROUP BY src)",
+        f"outd AS MATERIALIZED ({outd})",
         "nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM ids)",
-        "r0 AS MATERIALIZED (SELECT id, 1.0/(SELECT n FROM nn) AS rank FROM ids)",
     ]
+    if personalized:
+        parts += [
+            "pk AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS k FROM ids WHERE id % 5 = 0)",
+            "pv AS MATERIALIZED (SELECT id, CASE WHEN id % 5 = 0 "
+            "THEN 1.0/(SELECT k FROM pk) ELSE 0.0 END AS p FROM ids)",
+            "r0 AS MATERIALIZED (SELECT id, p AS rank FROM pv)",
+        ]
+        base = f"pv.p * ((1.0 - {alpha}) + {alpha}*(SELECT dm FROM d{{i}}))"
+        anchor = "pv"
+    else:
+        parts.append(
+            "r0 AS MATERIALIZED (SELECT id, 1.0/(SELECT n FROM nn) AS rank FROM ids)"
+        )
+        base = (
+            f"((1.0 - {alpha})/(SELECT n FROM nn) "
+            f"+ {alpha}*(SELECT dm FROM d{{i}})/(SELECT n FROM nn))"
+        )
+        anchor = "ids"
     for i in range(k):
         parts.append(
             f"d{i} AS MATERIALIZED (SELECT COALESCE(SUM(r.rank), 0.0) AS dm FROM r{i} r "
             "LEFT JOIN outd o ON r.id = o.id WHERE o.id IS NULL)"
         )
         parts.append(
-            f"r{i + 1} AS MATERIALIZED (SELECT i.id, "
-            f"((1.0 - {alpha})/(SELECT n FROM nn) "
-            f"+ {alpha}*(SELECT dm FROM d{i})/(SELECT n FROM nn)) "
+            f"r{i + 1} AS MATERIALIZED (SELECT {anchor}.id, "
+            f"{base.format(i=i)} "
             f"+ {alpha} * COALESCE(g.inc, 0.0) AS rank "
-            "FROM ids i LEFT JOIN ("
-            "SELECT e.dst AS id, SUM(r.rank * (1.0/o.od)) AS inc "
+            f"FROM {anchor} LEFT JOIN ("
+            f"SELECT e.dst AS id, {contrib} AS inc "
             f"FROM edges e JOIN outd o ON e.src = o.id JOIN r{i} r ON r.id = e.src "
-            "GROUP BY e.dst) g ON i.id = g.id)"
+            f"GROUP BY e.dst) g ON {anchor}.id = g.id)"
         )
     return ",\n".join(parts) + f"\nSELECT id, ROUND(rank, 8) AS rank FROM r{k}"
 
@@ -1232,6 +1318,8 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
         """,
         "q_pagerank_top": _pagerank_oracle_sql(),
+        "q_pagerank_weighted": _pagerank_oracle_sql(weighted=True),
+        "q_pagerank_personalized": _pagerank_oracle_sql(personalized=True),
         "q_label_propagation": _lpa_oracle_sql(),
         "q_minhash_dup_pairs": _JACCARD_PAIRS_ORACLE,
         "q_simhash_near_dup": _JACCARD_PAIRS_ORACLE,

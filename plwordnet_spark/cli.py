@@ -121,6 +121,37 @@ def cmd_labelprop(args) -> int:
     return 0
 
 
+def cmd_bfs(args) -> int:
+    spark = get_spark("cli-bfs", master=args.master)
+    from plwordnet_spark.graph.bfs import bfs_distances
+
+    nodes, edges = _load_graph(spark, args.graph)
+    sources = [int(s) for s in args.sources.split(",")]
+    res = bfs_distances(
+        spark, edges, sources=sources, nodes=nodes, directed=args.directed,
+    )
+    if args.output:
+        res.state.write.mode("overwrite").parquet(args.output)
+    reached = res.state.filter("dist IS NOT NULL").count()
+    print(json.dumps({"iterations": res.iterations, "reached": reached}))
+    spark.stop()
+    return 0
+
+
+def cmd_hits(args) -> int:
+    spark = get_spark("cli-hits", master=args.master)
+    from plwordnet_spark.graph.hits import hits
+
+    nodes, edges = _load_graph(spark, args.graph)
+    res = hits(spark, edges, nodes=nodes, max_iterations=args.max_iterations,
+               tol=args.tol)
+    if args.output:
+        res.state.write.mode("overwrite").parquet(args.output)
+    print(json.dumps({"iterations": res.iterations, "converged": res.converged}))
+    spark.stop()
+    return 0
+
+
 def cmd_triangles(args) -> int:
     spark = get_spark("cli-triangles", master=args.master)
     from plwordnet_spark.graph.triangles import triangle_count
@@ -229,7 +260,8 @@ def main(argv: list[str] | None = None) -> int:
     p.set_defaults(fn=cmd_build_graph)
 
     for name, fn in (("pagerank", cmd_pagerank), ("components", cmd_components),
-                     ("labelprop", cmd_labelprop), ("triangles", cmd_triangles)):
+                     ("labelprop", cmd_labelprop), ("triangles", cmd_triangles),
+                     ("bfs", cmd_bfs), ("hits", cmd_hits)):
         p = sub.add_parser(name); _add_common(p)
         p.add_argument("--graph", required=True, help="dir from build-graph")
         if name == "pagerank":
@@ -237,6 +269,13 @@ def main(argv: list[str] | None = None) -> int:
             p.add_argument("--max-iterations", type=int, default=100)
             p.add_argument("--checkpoint-dir", default=None)
             p.add_argument("--csr", action="store_true")
+        if name == "bfs":
+            p.add_argument("--sources", required=True,
+                           help="comma-separated seed node ids")
+            p.add_argument("--directed", action="store_true")
+        if name == "hits":
+            p.add_argument("--tol", type=float, default=1e-8)
+            p.add_argument("--max-iterations", type=int, default=50)
         if name == "components":
             p.add_argument("--method", default="two-phase",
                            choices=["two-phase", "hashmin"])

@@ -53,6 +53,7 @@ def pagerank(
     csr_buckets: int | None = None,
     auto_tune: bool = True,
     retain_snapshots: int | None = None,
+    personalization: DataFrame | None = None,
 ) -> PregelResult:
     """edges(src, dst[, weight[, salt]]) → ranks(id, rank) summing to 1.
 
@@ -62,7 +63,10 @@ def pagerank(
     handling for hub vertices beyond AQE. ``use_csr``: stage the
     adjacency once as per-partition CSR blocks (graph/csr.py) so each
     iteration ships only the rank vector to Python workers; results are
-    identical to the join path (property-tested)."""
+    identical to the join path (property-tested). ``personalization``:
+    optional (id, p) teleport distribution (topic-sensitive PageRank) —
+    p is normalized to sum 1, missing ids get 0; teleport AND dangling
+    mass redistribute ∝ p. None keeps the uniform scalar fast path."""
     weight_col = F.col("weight") if weighted and "weight" in edges.columns else F.lit(1.0)
     edge_w = edges.select("src", "dst", weight_col.cast("double").alias("w"))
 
@@ -85,7 +89,7 @@ def pagerank(
             spark, edge_w, ids, alpha, tol, max_iterations, checkpoint_dir,
             checkpoint_interval, salted_gather, n_salts, initial_ranks,
             start_iteration, check_interval, use_csr, csr_workdir, csr_buckets,
-            retain_snapshots,
+            retain_snapshots, personalization,
         )
 
 
@@ -93,7 +97,7 @@ def _pagerank_loop(
     spark, edge_w, ids, alpha, tol, max_iterations, checkpoint_dir,
     checkpoint_interval, salted_gather, n_salts, initial_ranks,
     start_iteration, check_interval, use_csr, csr_workdir, csr_buckets,
-    retain_snapshots=None,
+    retain_snapshots=None, personalization=None,
 ) -> PregelResult:
     ids = ids.repartition("id").cache()
     n_nodes = ids.count()
@@ -133,10 +137,31 @@ def _pagerank_loop(
         "_is_dangling", F.lit(True)
     ).cache()  # no out-edges
 
+    # teleport distribution: None = uniform scalar fast path; otherwise
+    # (id, p) normalized to sum 1, cached co-partitioned with ids
+    pvec = None
+    if personalization is not None:
+        p_raw = ids.join(
+            personalization.select("id", F.col("p").cast("double").alias("_p")),
+            "id",
+            "left",
+        ).select("id", F.coalesce("_p", F.lit(0.0)).alias("_p"))
+        p_sum = float(p_raw.agg(F.sum("_p")).first()[0] or 0.0)
+        if p_sum <= 0:
+            raise ValueError("personalization must have positive total mass")
+        pvec = (
+            p_raw.select("id", (F.col("_p") / F.lit(p_sum)).alias("p"))
+            .repartition("id")
+            .cache()
+        )
+        pvec.count()
+
     # resume path: seed from a checkpointed (id, rank) state instead of
-    # the uniform vector (north rule: resumable from checkpoint)
+    # the teleport vector (north rule: resumable from checkpoint)
     if initial_ranks is not None:
         init = initial_ranks.select("id", "rank")
+    elif pvec is not None:
+        init = pvec.select("id", F.col("p").alias("rank"))
     else:
         init = ids.select("id", F.lit(1.0 / n_nodes).alias("rank"))
 
@@ -161,23 +186,35 @@ def _pagerank_loop(
                 "dangling mass is refreshed by the delta action"
             )
 
+    def _assemble(gathered: DataFrame, dm: float) -> DataFrame:
+        """teleport + damped incoming → next rank vector; the uniform
+        path keeps the original scalar float-op order (oracle parity)."""
+        g = gathered.withColumnRenamed("dst", "id")
+        if pvec is None:
+            base = (1.0 - alpha) / n_nodes + alpha * dm / n_nodes
+            return ids.join(g, "id", "left").select(
+                "id",
+                (
+                    F.lit(base)
+                    + F.lit(alpha) * F.coalesce(F.col("incoming"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        scalar = (1.0 - alpha) + alpha * dm
+        return pvec.join(g, "id", "left").select(
+            "id",
+            (
+                F.col("p") * F.lit(scalar)
+                + F.lit(alpha) * F.coalesce(F.col("incoming"), F.lit(0.0))
+            ).alias("rank"),
+        )
+
     def step(ranks: DataFrame) -> DataFrame:
         dm = state_dm["dm"]
         if adj is not None:
             gathered = adj.gather(
                 ranks.withColumn("part", adj.bucket_col(F.col("id")))
             )
-            base = (1.0 - alpha) / n_nodes + alpha * dm / n_nodes
-            return (
-                ids.join(gathered.withColumnRenamed("dst", "id"), "id", "left")
-                .select(
-                    "id",
-                    (
-                        F.lit(base)
-                        + F.lit(alpha) * F.coalesce(F.col("incoming"), F.lit(0.0))
-                    ).alias("rank"),
-                )
-            )
+            return _assemble(gathered, dm)
         contribs = scatter.join(ranks.withColumnRenamed("id", "src"), "src")
         if salted_gather:
             # phase 1: partial sums per (dst, salt) — splits hub keys
@@ -195,16 +232,7 @@ def _pagerank_loop(
             gathered = contribs.groupBy("dst").agg(
                 F.sum(F.col("rank") * F.col("share")).alias("incoming")
             )
-        base = (1.0 - alpha) / n_nodes + alpha * dm / n_nodes
-        return (
-            ids.join(gathered.withColumnRenamed("dst", "id"), "id", "left")
-            .select(
-                "id",
-                (
-                    F.lit(base) + F.lit(alpha) * F.coalesce(F.col("incoming"), F.lit(0.0))
-                ).alias("rank"),
-            )
-        )
+        return _assemble(gathered, dm)
 
     def l1_delta(old: DataFrame, new: DataFrame) -> float:
         # one scan: L1 convergence error (+ next iteration's dangling mass
@@ -247,5 +275,7 @@ def _pagerank_loop(
             shutil.rmtree(tmp_workdir, ignore_errors=True)
     scatter.unpersist()
     dangling.unpersist()
+    if pvec is not None:
+        pvec.unpersist()
     ids.unpersist()
     return result

@@ -97,3 +97,44 @@ def test_hits_converges(spark):
     res = hits(spark, edges, max_iterations=200, tol=1e-10)
     assert res.converged
     assert res.iterations < 200
+
+
+def _ppr_py(edges, p_map, alpha=0.85, iters=500, tol=1e-12):
+    """Personalized PageRank oracle: teleport and dangling mass ∝ p."""
+    nodes = sorted({n for e in edges for n in e})
+    total = sum(p_map.get(n, 0.0) for n in nodes)
+    p = {n: p_map.get(n, 0.0) / total for n in nodes}
+    out = {n: 0 for n in nodes}
+    for u, _ in edges:
+        out[u] += 1
+    x = dict(p)
+    for _ in range(iters):
+        xl = x
+        dm = sum(xl[n] for n in nodes if out[n] == 0)
+        x = {n: p[n] * ((1 - alpha) + alpha * dm) for n in nodes}
+        for u, v in set(edges):
+            x[v] += alpha * xl[u] / out[u]
+        if sum(abs(x[n] - xl[n]) for n in nodes) < tol:
+            break
+    return x
+
+
+def test_personalized_pagerank_matches_python(spark):
+    from plwordnet_spark.graph.pagerank import pagerank
+
+    edges_list = list(set(EDGES))
+    edges = spark.createDataFrame(edges_list, "src long, dst long")
+    seeds = {0: 1.0, 4: 3.0}  # non-uniform teleport over a seed set
+    pers = spark.createDataFrame(list(seeds.items()), "id long, p double")
+    res = pagerank(
+        spark, edges, tol=1e-12, max_iterations=300, weighted=False,
+        personalization=pers,
+    )
+    want = _ppr_py(edges_list, seeds)
+    got = {r.id: r.rank for r in res.state.collect()}
+    assert set(got) == set(want)
+    for n, v in want.items():
+        assert got[n] == pytest.approx(v, abs=1e-9), f"node {n}"
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    # teleport mass concentrates near the seed set
+    assert got[4] > max(v for n, v in got.items() if n in (7, 8))

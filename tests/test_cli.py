@@ -37,6 +37,18 @@ def test_cli_graph_pipeline(tmp_path, capsys):
     tri = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert tri["triangles"] >= 0
 
+    assert cli.main(["hits", "--graph", graph_dir, "--max-iterations", "20"]) == 0
+    h = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert h["iterations"] >= 1
+
+    import pyarrow.parquet as pq
+    import glob as _glob
+    node_file = sorted(_glob.glob(f"{graph_dir}/nodes/*.parquet"))[0]
+    seed = int(pq.read_table(node_file, columns=["id"]).column("id")[0].as_py())
+    assert cli.main(["bfs", "--graph", graph_dir, "--sources", str(seed)]) == 0
+    b = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert b["reached"] >= 1
+
 
 def test_cli_export_dataset(spark, tmp_path, capsys):
     samples = spark.createDataFrame(
