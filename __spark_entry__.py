@@ -373,6 +373,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_simhash_near_dup": lambda s, d: _q_simhash(s, d),
         "q_embedding_near_dup": lambda s, d: _q_embedding_near_dup(s, d),
         "q_lsh_topk": lambda s, d: _q_lsh_topk(s, d),
+        # --- aggregation / streaming-analog round-2 additions ---
+        "q_percentiles": lambda s, d: (
+            _t(s, d, "lineitem")
+            .groupBy("l_returnflag")
+            .agg(
+                F.round(F.percentile("l_quantity", 0.25), 4).alias("p25"),
+                F.round(F.percentile("l_quantity", 0.5), 4).alias("p50"),
+                F.round(F.percentile("l_quantity", 0.9), 4).alias("p90"),
+            )
+        ),
+        "q_sessionize": lambda s, d: _q_sessionize(s, d),
         # --- graph round-2 additions ---
         "q_bfs_distances": lambda s, d: _q_bfs_distances(s, d),
         "q_hits": lambda s, d: _q_hits(s, d),
@@ -624,6 +635,21 @@ def _q_weighted_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
     pooled = weighted_mean_pool(emb, ["label"], out_col="vec")
     return pooled.select("label", F.posexplode("vec").alias("pos", "x")).select(
         "label", "pos", F.round("x", 6).alias("mean_x")
+    )
+
+
+def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows (batch form of the streaming operator);
+    the oracle rebuilds sessions with lag + cumulative new-session flags
+    — the relational definition Spark's session_window implements."""
+    from plwordnet_spark.streaming.windows import sessionize_events
+
+    events = _t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    return sessionize_events(events, gap="30 minutes").select(
+        "user_id",
+        "session_start",
+        "session_end",
+        F.col("n_events").cast("long").alias("n_events"),
     )
 
 
@@ -1325,6 +1351,35 @@ def oracle_sql() -> dict[str, str]:
         "q_simhash_near_dup": _JACCARD_PAIRS_ORACLE,
         "q_embedding_near_dup": _embedding_near_dup_oracle(),
         "q_lsh_topk": _lsh_topk_oracle(),
+        "q_percentiles": """
+            SELECT l_returnflag,
+                   ROUND(quantile_cont(CAST(l_quantity AS DOUBLE), 0.25), 4) AS p25,
+                   ROUND(quantile_cont(CAST(l_quantity AS DOUBLE), 0.5), 4) AS p50,
+                   ROUND(quantile_cont(CAST(l_quantity AS DOUBLE), 0.9), 4) AS p90
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "q_sessionize": """
+            WITH e AS (
+                SELECT user_id, ts,
+                       CASE WHEN ts - LAG(ts) OVER (
+                           PARTITION BY user_id ORDER BY ts
+                       ) > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+                FROM events WHERE user_id < 50
+            ),
+            s AS (
+                SELECT user_id, ts,
+                       SUM(new_s) OVER (
+                           PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS session_id
+                FROM e
+            )
+            SELECT user_id,
+                   MIN(ts) AS session_start,
+                   MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM s GROUP BY user_id, session_id
+        """,
         "q_bfs_distances": _bfs_oracle_sql(),
         "q_hits": _hits_oracle_sql(),
         "q_ngram_jaccard": (
