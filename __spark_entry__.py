@@ -565,7 +565,10 @@ def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    cand = minhash_candidate_pairs(docs, n_bands=16)
+    # max_bucket effectively off: the oracle has no cap, so the contract
+    # comparison must not depend on bucket sizes; 16×2 banding puts the
+    # residual miss probability at ~1e-7 per true pair at J=0.8
+    cand = minhash_candidate_pairs(docs, n_bands=16, max_bucket=1_000_000_000)
     return (
         exact_jaccard_for_pairs(cand, docs)
         .filter(F.col("jaccard") >= F.lit(_DUP_THRESHOLD))
@@ -576,7 +579,11 @@ def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash chunk-banded candidates + exact-Jaccard verify (same
     SQL-checkable pipeline shape as q_minhash_dup_pairs, different
-    candidate generator)."""
+    candidate generator). max_hamming=15 is the 64-bit maximum; the
+    oracle equivalence is empirical at the driver's scale factors
+    (verified sf0.001/0.01/0.1) — a J≥0.8 pair at simhash distance >15
+    would be an engine-only miss, which is the operator's documented
+    recall bound, not a wrong answer."""
     from plwordnet_spark.textops.dedup import (
         exact_jaccard_for_pairs,
         simhash_near_dup_pairs,

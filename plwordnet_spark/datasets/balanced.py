@@ -44,9 +44,11 @@ def balance_arithmetic(low_count: int, high_count: int, ratio: float = 2.0) -> d
         )
     if low_count == 0:
         return {"add_examples": int(math.ceil(high_count * ratio)), "l_h_ratio": 0}
-    # truncating int(), not ceil — exact reference arithmetic
-    # (embedder.py:911-913 computes int(ratio * high + 1) - low)
-    add_examples = int(ratio * (low_count * (high_count / low_count)) + 1) - low_count
+    # truncating int(), no intermediate float detour — exact reference
+    # arithmetic (embedder.py:911-913 computes int(ratio * high + 1) -
+    # low; low*(high/low) lands one ulp below the integer and truncates
+    # a whole unit lower, e.g. low=7 high=61 ratio=2 → 115 vs 116)
+    add_examples = int(ratio * high_count + 1) - low_count
     add_examples = max(add_examples, 0)
     l_h_ratio = int(round(0.5 + add_examples / low_count))
     return {"add_examples": add_examples, "l_h_ratio": l_h_ratio}

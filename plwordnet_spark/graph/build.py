@@ -175,9 +175,13 @@ def validate_graph(tables: GraphTables) -> dict:
     ).first()
     node_count, url_count = int(node_row["n"]), int(node_row["u"])
     collisions = int(node_row["u"] - node_row["i"])
+    # distinct ids on the build side: duplicate node ids (the collision
+    # case this validator exists to catch) must not fan out edge rows
+    # and corrupt edge_count — collisions are reported by their own check
     edge_row = (
         tables.edges.join(
-            tables.nodes.select(F.col("id").alias("dst"), F.lit(True).alias("_has")),
+            tables.nodes.select(F.col("id").alias("dst")).distinct()
+            .withColumn("_has", F.lit(True)),
             "dst",
             "left",
         )

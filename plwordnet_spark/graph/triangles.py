@@ -52,9 +52,11 @@ def _oriented_by_degree(und: DataFrame) -> DataFrame:
     )
 
 
-def _triangle_list(edges: DataFrame) -> DataFrame:
-    """(x, y, z) rows, one per triangle (x = the (deg, id)-minimum
-    vertex; y, z its out-neighbors in order)."""
+def _triangle_list(edges: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """((x, y, z) triangle rows, the cached oriented table). x = the
+    (deg, id)-minimum vertex; y, z its out-neighbors in order. The
+    caller owns the cached table's lifecycle (it is referenced three
+    times in the plan) and must unpersist it after its final action."""
     o = _oriented_by_degree(canonical_undirected(edges)).cache()
     e1 = o.select("u", F.col("v").alias("y"), F.col("kv").alias("ky"))
     e2 = o.select("u", F.col("v").alias("z"), F.col("kv").alias("kz"))
@@ -64,17 +66,24 @@ def _triangle_list(edges: DataFrame) -> DataFrame:
         .select(F.col("u").alias("x"), "y", "z")
     )
     closing = o.select(F.col("u").alias("y"), F.col("v").alias("z"))
-    return wedges.join(closing, ["y", "z"], "left_semi")
+    return wedges.join(closing, ["y", "z"], "left_semi"), o
 
 
 def triangle_count(edges: DataFrame) -> int:
     """Global triangle count of the underlying simple undirected graph."""
-    return _triangle_list(edges).count()
+    tri, o = _triangle_list(edges)
+    n = tri.count()
+    o.unpersist()
+    return n
 
 
 def triangles_per_node(edges: DataFrame) -> DataFrame:
     """(id, triangles) — each triangle credits its three vertices."""
-    tri = _triangle_list(edges)
+    tri, o = _triangle_list(edges)
+    # pin the triangle list before releasing the oriented cache it
+    # derives from (the returned frame stays lazily consumable)
+    tri = tri.localCheckpoint(eager=True)
+    o.unpersist()
     exploded = (
         tri.select(F.col("x").alias("id"))
         .unionAll(tri.select(F.col("y").alias("id")))

@@ -79,27 +79,41 @@ def stream_pages_to_edges(
     store = SnapshotStore(spark, edges_dir)
 
     def _merge(batch_pages: DataFrame, batch_id: int) -> None:
-        latest = store.latest()
         # idempotency guard: foreachBatch is at-least-once — if the job
         # died after the snapshot committed but before the streaming
         # checkpoint did, the replayed micro-batch must NOT be merged
-        # again (additive weights would double-count). Same batch_id
-        # already in the manifest → skip (the reference's resumable
-        # skip-already-done pattern, wrappers.py:292-304).
-        if latest is not None and latest[1]["metrics"].get("batch_id") is not None \
-                and int(latest[1]["metrics"]["batch_id"]) >= int(batch_id):
-            return
+        # again (additive weights would double-count). A batch is
+        # identified by (batch_id, content fingerprint), not batch_id
+        # order alone: a restart with a FRESH checkpoint re-numbers
+        # batches from 0, and new data arriving under an old batch_id
+        # must still merge (the reference's resumable skip-already-done
+        # pattern, wrappers.py:292-304, made content-aware).
+        row = batch_pages.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum(F.xxhash64("url").cast("decimal(38,0)")), F.lit(0)
+            ).alias("h"),
+        ).first()
+        n_pages, content_hash = int(row["n"]), str(row["h"])
+        for entry in store.manifest():
+            m = entry.get("metrics", {})
+            if m.get("batch_id") == int(batch_id) and m.get("content_hash") == content_hash:
+                return  # exact replay of an already-merged batch
         new_edges = _batch_edges(batch_pages)
+        latest = store.latest()
         if latest is None:
             merged = new_edges.select("src", "dst", "rel_id", "weight")
         else:
             existing, _entry = latest
             merged = merge_edge_tables(existing, new_edges)
-        n_pages = batch_pages.count()
         store.write(
             merged,
             iteration=int(batch_id),
-            metrics={"batch_id": int(batch_id), "pages_in_batch": n_pages},
+            metrics={
+                "batch_id": int(batch_id),
+                "pages_in_batch": n_pages,
+                "content_hash": content_hash,
+            },
         )
 
     return (

@@ -98,10 +98,24 @@ def _band_codes_udf(dim: int, n_bands: int, band_bits: int, seed: int):
 
     @F.pandas_udf("array<long>")
     def band_codes(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        zero = np.zeros(planes_t.shape[0], dtype=np.float64)
         for s in batches:
-            m = np.stack(s.to_numpy()).astype(np.float64)  # (rows, dim)
+            vals = s.to_numpy()
+            if len(vals) == 0:
+                yield pd.Series([], dtype=object)
+                continue
+            null_mask = np.array([v is None for v in vals])
+            if null_mask.any():
+                vals = np.array(
+                    [zero if v is None else v for v in vals], dtype=object
+                )
+            m = np.stack(vals).astype(np.float64)  # (rows, dim)
             bits = (m @ planes_t) >= 0.0  # (rows, n_bits)
             codes = bits.reshape(len(m), n_bands, band_bits).astype(np.int64) @ weights
+            # NULL vector → code 0 in every band (what the SQL oracle's
+            # CASE WHEN NULL-dot ELSE 0 computes): nulls co-bucket and
+            # their null cosine is filtered downstream
+            codes[null_mask] = 0
             yield pd.Series(list(codes))
 
     return band_codes

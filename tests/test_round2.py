@@ -126,11 +126,16 @@ def test_negative_synthesis_cap_partition_invariant(spark):
 def test_balance_arithmetic_reference_truncation():
     from plwordnet_spark.datasets.balanced import balance_arithmetic
 
-    # reference embedder.py:911-913: int(ratio*high + 1) - low (truncating)
-    for low, high, ratio in [(10, 33, 2.0), (7, 13, 1.5), (3, 10, 2.0), (10, 10, 1.0)]:
+    # reference embedder.py:911-913: int(ratio*high + 1) - low (truncating,
+    # straight on high — a low*(high/low) float detour truncates one
+    # lower whenever the division lands below the integer, e.g. 7/61)
+    for low, high, ratio in [
+        (10, 33, 2.0), (7, 13, 1.5), (3, 10, 2.0), (10, 10, 1.0), (7, 61, 2.0)
+    ]:
         got = balance_arithmetic(low, high, ratio)
-        expected = max(int(ratio * (low * (high / low)) + 1) - low, 0)
+        expected = max(int(ratio * high + 1) - low, 0)
         assert got["add_examples"] == expected, (low, high, ratio)
+    assert balance_arithmetic(7, 61, 2.0)["add_examples"] == 116  # not 115
 
 
 # ---------------------------------------------------------------------------

@@ -254,7 +254,9 @@ def cmd_report(_args) -> None:
             "",
         ]
 
-    if "cpu_baseline" in report:
+    if "cpu_baseline" in report and (
+        "strong_scaling" in report or "weak_scaling" in report or "extract_scaling" in report
+    ):
         ceiling = report["cpu_baseline"]["speedup"]
         norm = {}
         if "strong_scaling" in report:
