@@ -387,6 +387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- graph round-2 additions ---
         "q_bfs_distances": lambda s, d: _q_bfs_distances(s, d),
         "q_hits": lambda s, d: _q_hits(s, d),
+        "q_kcore": lambda s, d: _q_kcore(s, d),
         # --- textops / vectors round-2 additions ---
         "q_ngram_jaccard": lambda s, d: _q_ngram_jaccard(s, d),
         "q_language_id": lambda s, d: _q_language_id(s, d),
@@ -661,6 +662,20 @@ def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _HITS_ITERS = 20
+_KCORE_K = 185
+_KCORE_ROUNDS = 25
+
+
+def _q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core node set via iterative peeling. Peeling is a deterministic
+    single-valued iteration, so engine-at-max-R and an R-round unrolled
+    SQL agree whether or not the fixpoint landed inside R (post-fixpoint
+    rounds are no-ops)."""
+    from plwordnet_spark.graph.kcore import k_core
+
+    edges = _derived_edges(spark, sf_dir)
+    res = k_core(spark, edges, k=_KCORE_K, max_iterations=_KCORE_ROUNDS)
+    return res.state.select("id")
 
 
 def _q_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -839,6 +854,31 @@ def _lpa_oracle_sql(k: int = _LPA_ITERS) -> str:
             ") WHERE rn = 1) b ON l.id = b.id)"
         )
     return ",\n".join(parts) + f"\nSELECT id, label FROM l{k}"
+
+
+def _kcore_oracle_sql(k: int = _KCORE_K, rounds: int = _KCORE_ROUNDS) -> str:
+    """Unrolled peeling: each round keeps edges whose BOTH endpoints have
+    degree >= k in the previous round's edge set."""
+    parts = [
+        f"WITH edges AS MATERIALIZED ({_EDGE_SQL_DERIVATION})",
+        "e0 AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, "
+        "GREATEST(src, dst) AS b FROM edges WHERE src <> dst)",
+    ]
+    for i in range(rounds):
+        parts.append(
+            f"g{i} AS MATERIALIZED (SELECT id FROM ("
+            f"SELECT id, count(*) AS dg FROM ("
+            f"SELECT a AS id FROM e{i} UNION ALL SELECT b FROM e{i}"
+            f") GROUP BY id) WHERE dg >= {k})"
+        )
+        parts.append(
+            f"e{i + 1} AS MATERIALIZED (SELECT e.a, e.b FROM e{i} e "
+            f"JOIN g{i} x ON e.a = x.id JOIN g{i} y ON e.b = y.id)"
+        )
+    return ",\n".join(parts) + (
+        f"\nSELECT DISTINCT id FROM "
+        f"(SELECT a AS id FROM e{rounds} UNION ALL SELECT b FROM e{rounds})"
+    )
 
 
 def _bfs_oracle_sql() -> str:
@@ -1387,6 +1427,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_events
             FROM s GROUP BY user_id, session_id
         """,
+        "q_kcore": _kcore_oracle_sql(),
         "q_bfs_distances": _bfs_oracle_sql(),
         "q_hits": _hits_oracle_sql(),
         "q_ngram_jaccard": (

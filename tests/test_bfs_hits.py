@@ -138,3 +138,24 @@ def test_personalized_pagerank_matches_python(spark):
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
     # teleport mass concentrates near the seed set
     assert got[4] > max(v for n, v in got.items() if n in (7, 8))
+
+
+def test_k_core_matches_networkx(spark):
+    import networkx as nx
+
+    from plwordnet_spark.graph.kcore import k_core
+
+    g = nx.gnp_random_graph(80, 0.06, seed=7)
+    edges = spark.createDataFrame(list(g.edges()), "src long, dst long")
+    for k in (2, 3, 4):
+        got = {r.id for r in k_core(spark, edges, k=k).state.collect()}
+        want = set(nx.k_core(g, k).nodes())
+        assert got == want, f"k={k}"
+
+
+def test_k_core_empty_when_too_sparse(spark):
+    from plwordnet_spark.graph.kcore import k_core
+
+    # a path graph has no 2-core
+    edges = spark.createDataFrame([(i, i + 1) for i in range(10)], "src long, dst long")
+    assert k_core(spark, edges, k=2).state.count() == 0
