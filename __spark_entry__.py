@@ -388,6 +388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bfs_distances": lambda s, d: _q_bfs_distances(s, d),
         "q_hits": lambda s, d: _q_hits(s, d),
         "q_kcore": lambda s, d: _q_kcore(s, d),
+        "q_sssp": lambda s, d: _q_sssp(s, d),
         # --- textops / vectors round-2 additions ---
         "q_ngram_jaccard": lambda s, d: _q_ngram_jaccard(s, d),
         "q_language_id": lambda s, d: _q_language_id(s, d),
@@ -662,6 +663,21 @@ def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _HITS_ITERS = 20
+_SSSP_ROUNDS = 15
+
+
+def _q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted shortest paths (fixed Bellman-Ford rounds; weights are
+    integral edge multiplicities so distances are exact integers)."""
+    from plwordnet_spark.graph.bfs import sssp_distances
+
+    edges = _derived_weighted_edges(spark, sf_dir)
+    res = sssp_distances(
+        spark, edges, sources=[0], directed=True, max_iterations=_SSSP_ROUNDS
+    )
+    return res.state.select("id", F.col("dist").cast("long").alias("dist"))
+
+
 _KCORE_K = 185
 _KCORE_ROUNDS = 25
 
@@ -854,6 +870,28 @@ def _lpa_oracle_sql(k: int = _LPA_ITERS) -> str:
             ") WHERE rn = 1) b ON l.id = b.id)"
         )
     return ",\n".join(parts) + f"\nSELECT id, label FROM l{k}"
+
+
+def _sssp_oracle_sql(rounds: int = _SSSP_ROUNDS) -> str:
+    """Unrolled Bellman-Ford over the weighted derived edges; integral
+    weights make every distance exact (no float drift)."""
+    parts = [
+        f"WITH rel AS MATERIALIZED (SELECT src AS u, dst AS v, MIN(w) AS w "
+        f"FROM ({_WEIGHTED_EDGE_SQL_DERIVATION}) GROUP BY 1, 2)",
+        "ids AS MATERIALIZED (SELECT u AS id FROM rel UNION SELECT v FROM rel)",
+        "s0 AS MATERIALIZED (SELECT id, CASE WHEN id = 0 THEN 0.0 END AS dist FROM ids)",
+    ]
+    for i in range(rounds):
+        parts.append(
+            f"s{i + 1} AS MATERIALIZED (SELECT s.id, LEAST(s.dist, g.nd) AS dist "
+            f"FROM s{i} s LEFT JOIN ("
+            f"SELECT e.v AS id, MIN(s.dist + e.w) AS nd "
+            f"FROM rel e JOIN s{i} s ON s.id = e.u WHERE s.dist IS NOT NULL "
+            f"GROUP BY e.v) g ON s.id = g.id)"
+        )
+    return ",\n".join(parts) + (
+        f"\nSELECT id, CAST(dist AS BIGINT) AS dist FROM s{rounds}"
+    )
 
 
 def _kcore_oracle_sql(k: int = _KCORE_K, rounds: int = _KCORE_ROUNDS) -> str:
@@ -1428,6 +1466,7 @@ def oracle_sql() -> dict[str, str]:
             FROM s GROUP BY user_id, session_id
         """,
         "q_kcore": _kcore_oracle_sql(),
+        "q_sssp": _sssp_oracle_sql(),
         "q_bfs_distances": _bfs_oracle_sql(),
         "q_hits": _hits_oracle_sql(),
         "q_ngram_jaccard": (

@@ -94,6 +94,23 @@ def main() -> None:
         lambda: connected_components(spark, tables.edges, nodes=tables.nodes).state.count(),
     )
 
+    from plwordnet_spark.graph.bfs import bfs_distances
+    from plwordnet_spark.graph.hits import hits
+    from plwordnet_spark.graph.kcore import k_core
+
+    seed_ids = tables.nodes.orderBy("id").limit(1).select("id")
+    timed(
+        "bfs",
+        lambda: bfs_distances(spark, tables.edges, sources=seed_ids, nodes=tables.nodes)
+        .state.filter("dist IS NOT NULL").count(),
+    )
+    timed(
+        "hits",
+        lambda: hits(spark, tables.edges, nodes=tables.nodes, max_iterations=10, tol=0.0)
+        .state.count(),
+    )
+    timed("kcore", lambda: k_core(spark, tables.edges, k=3).state.count())
+
     # --- relational headliners on the driver tables ---
     lineitem = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
     orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")

@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from plwordnet_spark.graph.pregel import PregelRunner, PregelResult
 
-__all__ = ["bfs_distances"]
+__all__ = ["bfs_distances", "sssp_distances"]
 
 
 def bfs_distances(
@@ -95,5 +95,92 @@ def bfs_distances(
     )
     res = runner.run(init, step, delta)
     sym.unpersist()
+    ids.unpersist()
+    return res
+
+
+def sssp_distances(
+    spark: SparkSession,
+    edges: DataFrame,
+    sources: list[int] | DataFrame,
+    weight_col: str = "weight",
+    nodes: DataFrame | None = None,
+    directed: bool = True,
+    max_iterations: int = 100,
+    checkpoint_dir: str | None = None,
+    checkpoint_interval: int = 5,
+) -> PregelResult:
+    """Weighted single/multi-source shortest paths (Bellman-Ford rounds):
+    each round relaxes every edge once — dist(v) = min(dist(v),
+    min_u(dist(u) + w(u,v))) — a single join + min-gather, converging in
+    ≤ |V| rounds (earlier for small effective diameter). Non-negative
+    weights assumed (distances are monotone; convergence check is exact
+    equality). NULL dist = unreachable. Like BFS, this is a
+    deterministic single-valued iteration: fixed-round runs are
+    oracle-replayable whether or not the fixpoint landed."""
+    if isinstance(sources, DataFrame):
+        src_ids = sources.select("id")
+    else:
+        src_ids = spark.createDataFrame([(int(s),) for s in sources], "id long")
+    ids = (
+        (nodes.select("id") if nodes is not None else
+         edges.select(F.col("src").alias("id"))
+         .unionByName(edges.select(F.col("dst").alias("id"))))
+        .distinct()
+        .cache()
+    )
+    rel = edges.select(
+        F.col("src").alias("u"), F.col("dst").alias("v"),
+        F.col(weight_col).cast("double").alias("w"),
+    )
+    if not directed:
+        rel = rel.unionByName(
+            edges.select(
+                F.col("dst").alias("u"), F.col("src").alias("v"),
+                F.col(weight_col).cast("double").alias("w"),
+            )
+        )
+    rel = rel.filter("u != v").groupBy("u", "v").agg(F.min("w").alias("w"))
+    rel = rel.repartition("u").cache()
+    rel.count()
+
+    init = ids.join(
+        src_ids.withColumn("dist", F.lit(0.0)), "id", "left"
+    ).select("id", "dist")
+
+    def step(state: DataFrame) -> DataFrame:
+        relaxed = (
+            rel.join(
+                state.filter(F.col("dist").isNotNull()).withColumnRenamed("id", "u"),
+                "u",
+            )
+            .groupBy(F.col("v").alias("id"))
+            .agg(F.min(F.col("dist") + F.col("w")).alias("nbr_dist"))
+        )
+        return state.join(relaxed, "id", "left").select(
+            "id", F.least(F.col("dist"), F.col("nbr_dist")).alias("dist")
+        )
+
+    def delta(old: DataFrame, new: DataFrame) -> float:
+        changed = (
+            old.withColumnRenamed("dist", "d0")
+            .join(new, "id")
+            .filter(
+                (F.col("d0").isNull() & F.col("dist").isNotNull())
+                | (F.col("d0") != F.col("dist"))
+            )
+            .count()
+        )
+        return float(changed)
+
+    runner = PregelRunner(
+        spark,
+        max_iterations=max_iterations,
+        tol=0.5,
+        checkpoint_dir=checkpoint_dir,
+        checkpoint_interval=checkpoint_interval,
+    )
+    res = runner.run(init, step, delta)
+    rel.unpersist()
     ids.unpersist()
     return res

@@ -159,3 +159,18 @@ def test_k_core_empty_when_too_sparse(spark):
     # a path graph has no 2-core
     edges = spark.createDataFrame([(i, i + 1) for i in range(10)], "src long, dst long")
     assert k_core(spark, edges, k=2).state.count() == 0
+
+
+def test_sssp_matches_python(spark):
+    from plwordnet_spark.graph.bfs import sssp_distances
+
+    w_edges = [
+        (0, 1, 4.0), (0, 2, 1.0), (2, 1, 2.0), (1, 3, 1.0), (2, 3, 5.0),
+        (3, 4, 1.0), (5, 6, 2.0),
+    ]
+    edges = spark.createDataFrame(w_edges, "src long, dst long, weight double")
+    res = sssp_distances(spark, edges, sources=[0], directed=True)
+    got = {r.id: r.dist for r in res.state.collect()}
+    # hand-checked Dijkstra: 0→2=1, 0→1=min(4, 1+2)=3, 0→3=4, 0→4=5
+    assert got == {0: 0.0, 1: 3.0, 2: 1.0, 3: 4.0, 4: 5.0, 5: None, 6: None}
+    assert res.converged
