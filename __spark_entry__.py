@@ -954,7 +954,9 @@ def _hits_oracle_sql(k: int = _HITS_ITERS) -> str:
         "nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM ids)",
         "h0 AS MATERIALIZED (SELECT id, 1.0/(SELECT n FROM nn) AS hub FROM ids)",
     ]
-    for i in range(k):
+    # k full iterations PLUS the trailing authority update a{k} from the
+    # final hub — the engine reports the (h_k, a(h_k)) consistent pair
+    for i in range(k + 1):
         parts.append(
             f"ar{i} AS MATERIALIZED (SELECT i.id, COALESCE(g.s, 0.0) AS a "
             "FROM ids i LEFT JOIN ("
@@ -968,6 +970,8 @@ def _hits_oracle_sql(k: int = _HITS_ITERS) -> str:
             f"a{i} AS MATERIALIZED (SELECT id, CASE WHEN (SELECT n FROM an{i}) > 0 "
             f"THEN a/(SELECT n FROM an{i}) ELSE 0.0 END AS a FROM ar{i})"
         )
+        if i == k:
+            break
         parts.append(
             f"hr{i} AS MATERIALIZED (SELECT i.id, COALESCE(g.s, 0.0) AS h "
             "FROM ids i LEFT JOIN ("
@@ -983,7 +987,7 @@ def _hits_oracle_sql(k: int = _HITS_ITERS) -> str:
         )
     return ",\n".join(parts) + (
         f"\nSELECT h.id, ROUND(h.hub, 6) AS hub, ROUND(a.a, 6) AS authority "
-        f"FROM h{k} h JOIN a{k - 1} a ON h.id = a.id"
+        f"FROM h{k} h JOIN a{k} a ON h.id = a.id"
     )
 
 

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from plwordnet_spark.graph.pregel import PregelRunner, PregelResult
+from plwordnet_spark.graph.pregel import PregelRunner, PregelResult, loop_tuning
 
 __all__ = ["bfs_distances", "sssp_distances"]
 
@@ -53,7 +53,7 @@ def bfs_distances(
             edges.select(F.col("dst").alias("u"), F.col("src").alias("v"))
         )
     sym = sym.filter("u != v").distinct().repartition("u").cache()
-    sym.count()
+    n_sym = sym.count()
 
     init = ids.join(
         src_ids.withColumn("dist", F.lit(0).cast("long")), "id", "left"
@@ -93,7 +93,8 @@ def bfs_distances(
         checkpoint_dir=checkpoint_dir,
         checkpoint_interval=checkpoint_interval,
     )
-    res = runner.run(init, step, delta)
+    with loop_tuning(spark, n_sym):
+        res = runner.run(init, step, delta)
     sym.unpersist()
     ids.unpersist()
     return res
@@ -142,7 +143,7 @@ def sssp_distances(
         )
     rel = rel.filter("u != v").groupBy("u", "v").agg(F.min("w").alias("w"))
     rel = rel.repartition("u").cache()
-    rel.count()
+    n_rel = rel.count()
 
     init = ids.join(
         src_ids.withColumn("dist", F.lit(0.0)), "id", "left"
@@ -180,7 +181,8 @@ def sssp_distances(
         checkpoint_dir=checkpoint_dir,
         checkpoint_interval=checkpoint_interval,
     )
-    res = runner.run(init, step, delta)
+    with loop_tuning(spark, n_rel):
+        res = runner.run(init, step, delta)
     rel.unpersist()
     ids.unpersist()
     return res

@@ -6,7 +6,8 @@ Power iteration on the un-normalized adjacency: per round
 one join + one groupBy-sum (map-side combine absorbs hub in-degree
 skew); the L2 norms stay relational — a one-row aggregate cross-joined
 (broadcast) onto the state, so the driver never collects a vector.
-State is one (id, hub, auth) row per node.
+Pregel state is one (id, hub) row per node; authority is derived from
+the final hub (consistent pair, identical at convergence).
 
 Beyond the reference (networkx-side there); a first-class link-graph
 signal for crawl frontier/quality scoring. Goldens vs a pure-Python
@@ -18,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from plwordnet_spark.graph.pregel import PregelRunner, PregelResult
+from plwordnet_spark.graph.pregel import PregelRunner, PregelResult, loop_tuning
 
 __all__ = ["hits"]
 
@@ -56,13 +57,15 @@ def hits(
         edges.select("src", "dst").filter("src != dst").distinct()
         .repartition("src").cache()
     )
-    links.count()
+    n_links = links.count()
 
-    init = ids.select(
-        "id",
-        F.lit(1.0 / n_nodes).alias("hub"),
-        F.lit(1.0 / n_nodes).alias("authority"),
-    )
+    # state carries HUB ONLY: authority is an intermediate inside each
+    # step and is derived once from the final hub after the loop. A
+    # (hub, authority) state would reference the auth subtree twice per
+    # step (once feeding hub_raw, once carried to the output), and
+    # Catalyst does not reuse those subtrees — measured 2× per-iteration
+    # aggregation work.
+    init = ids.select("id", F.lit(1.0 / n_nodes).alias("hub"))
 
     def _l2_normalized(df: DataFrame, col: str) -> DataFrame:
         norm = df.agg(F.sqrt(F.sum(F.col(col) * F.col(col))).alias("_n"))
@@ -75,18 +78,21 @@ def hits(
             .drop("_n")
         )
 
-    def step(state: DataFrame) -> DataFrame:
-        auth_raw = (
+    def _auth_of(hub_state: DataFrame) -> DataFrame:
+        raw = (
             links.join(
-                state.select(F.col("id").alias("src"), "hub"), "src"
+                hub_state.select(F.col("id").alias("src"), "hub"), "src"
             )
             .groupBy(F.col("dst").alias("id"))
             .agg(F.sum("hub").alias("authority"))
         )
-        auth = ids.join(auth_raw, "id", "left").select(
+        full = ids.join(raw, "id", "left").select(
             "id", F.coalesce("authority", F.lit(0.0)).alias("authority")
         )
-        auth = _l2_normalized(auth, "authority")
+        return _l2_normalized(full, "authority")
+
+    def step(hub_state: DataFrame) -> DataFrame:
+        auth = _auth_of(hub_state)
         hub_raw = (
             links.join(
                 auth.select(F.col("id").alias("dst"), "authority"), "dst"
@@ -94,13 +100,10 @@ def hits(
             .groupBy(F.col("src").alias("id"))
             .agg(F.sum("authority").alias("hub"))
         )
-        # carry authority THROUGH the hub computation (single reference
-        # to the auth subtree — re-referencing it in a final join would
-        # re-run the auth-side edge join within the same action)
-        combined = auth.join(hub_raw, "id", "left").select(
-            "id", F.coalesce("hub", F.lit(0.0)).alias("hub"), "authority"
+        hub = ids.join(hub_raw, "id", "left").select(
+            "id", F.coalesce("hub", F.lit(0.0)).alias("hub")
         )
-        return _l2_normalized(combined, "hub").select("id", "hub", "authority")
+        return _l2_normalized(hub, "hub")
 
     def delta(old: DataFrame, new: DataFrame) -> float:
         return float(
@@ -117,7 +120,13 @@ def hits(
         checkpoint_dir=checkpoint_dir,
         checkpoint_interval=checkpoint_interval,
     )
-    res = runner.run(init, step, delta)
+    with loop_tuning(spark, n_links):
+        res = runner.run(init, step, delta)
+        state = res.state.join(_auth_of(res.state), "id").select("id", "hub", "authority")
+    state = state.localCheckpoint(eager=True)  # pin before releasing caches
     links.unpersist()
     ids.unpersist()
-    return res
+    return PregelResult(
+        state=state, iterations=res.iterations, converged=res.converged,
+        metrics=res.metrics,
+    )

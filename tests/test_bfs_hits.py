@@ -38,15 +38,20 @@ def _hits_py(edges, iters):
     nodes = sorted({n for e in edges for n in e})
     links = sorted(set(edges))
     hub = {n: 1.0 / len(nodes) for n in nodes}
-    auth = dict(hub)
+
+    def auth_of(h):
+        a = {n: sum(h[u] for u, v in links if v == n) for n in nodes}
+        norm = math.sqrt(sum(x * x for x in a.values()))
+        return {n: (x / norm if norm > 0 else 0.0) for n, x in a.items()}
+
     for _ in range(iters):
-        auth = {n: sum(hub[u] for u, v in links if v == n) for n in nodes}
-        norm = math.sqrt(sum(a * a for a in auth.values()))
-        auth = {n: (a / norm if norm > 0 else 0.0) for n, a in auth.items()}
+        auth = auth_of(hub)
         hub = {n: sum(auth[v] for u, v in links if u == n) for n in nodes}
         norm = math.sqrt(sum(h * h for h in hub.values()))
         hub = {n: (h / norm if norm > 0 else 0.0) for n, h in hub.items()}
-    return hub, auth
+    # the engine reports authority derived from the FINAL hub (consistent
+    # pair; identical at convergence)
+    return hub, auth_of(hub)
 
 
 @pytest.mark.parametrize("directed", [False, True])
