@@ -678,8 +678,20 @@ def _q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.state.select("id", F.col("dist").cast("long").alias("dist"))
 
 
-_KCORE_K = 185
+_KCORE_K = 90
 _KCORE_ROUNDS = 25
+
+# sparser mod-1009 graph for the k-core query: its degree spread gives a
+# genuine multi-round peeling cascade at the gate sf (3 rounds → 981
+# survivors at sf0.01), where the dense mod-211 graph flips whole-graph
+# ↔ empty at a single k
+_KCORE_EDGE_SQL = """
+    SELECT DISTINCT
+        CAST(l_orderkey % 1009 AS BIGINT) AS src,
+        CAST(l_partkey % 1009 AS BIGINT) AS dst
+    FROM lineitem
+    WHERE l_orderkey % 1009 <> l_partkey % 1009
+"""
 
 
 def _q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -689,7 +701,15 @@ def _q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds are no-ops)."""
     from plwordnet_spark.graph.kcore import k_core
 
-    edges = _derived_edges(spark, sf_dir)
+    li = _t(spark, sf_dir, "lineitem")
+    edges = (
+        li.select(
+            (F.col("l_orderkey") % 1009).cast("long").alias("src"),
+            (F.col("l_partkey") % 1009).cast("long").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
     res = k_core(spark, edges, k=_KCORE_K, max_iterations=_KCORE_ROUNDS)
     return res.state.select("id")
 
@@ -898,7 +918,7 @@ def _kcore_oracle_sql(k: int = _KCORE_K, rounds: int = _KCORE_ROUNDS) -> str:
     """Unrolled peeling: each round keeps edges whose BOTH endpoints have
     degree >= k in the previous round's edge set."""
     parts = [
-        f"WITH edges AS MATERIALIZED ({_EDGE_SQL_DERIVATION})",
+        f"WITH edges AS MATERIALIZED ({_KCORE_EDGE_SQL})",
         "e0 AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS a, "
         "GREATEST(src, dst) AS b FROM edges WHERE src <> dst)",
     ]

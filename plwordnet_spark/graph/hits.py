@@ -122,8 +122,10 @@ def hits(
     )
     with loop_tuning(spark, n_links):
         res = runner.run(init, step, delta)
-        state = res.state.join(_auth_of(res.state), "id").select("id", "hub", "authority")
-    state = state.localCheckpoint(eager=True)  # pin before releasing caches
+        state = res.state.join(_auth_of(res.state), "id").select(
+            "id", "hub", "authority"
+        ).localCheckpoint(eager=True)  # materialize INSIDE the tuned block
+        # (configs apply at action time) and before releasing caches
     links.unpersist()
     ids.unpersist()
     return PregelResult(

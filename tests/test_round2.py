@@ -353,23 +353,24 @@ def test_streaming_ingest_replay_is_idempotent(spark, tmp_path):
     assert len(store.manifest()) == n_snaps_first  # no new snapshots
 
 
-def test_xlsx_report_sink_csv_fallback(spark, tmp_path):
-    """S8: report sink writes the same data via the CSV fallback when
-    openpyxl is absent (and via xlsx when present)."""
-    import glob
+def test_xlsx_report_sink_csv_fallback(spark, tmp_path, monkeypatch):
+    """S8: the CSV fallback path must write the full data when openpyxl
+    is absent — forced deterministically by making to_excel raise."""
+    import csv
+
+    import pandas as pd
 
     from plwordnet_spark.sources.dims import write_xlsx_report
 
+    def _no_excel(self, *a, **k):
+        raise ImportError("openpyxl not available (forced by test)")
+
+    monkeypatch.setattr(pd.DataFrame, "to_excel", _no_excel)
     df = spark.createDataFrame(
         [(1, "hypernym", 0.8), (2, "synonym", 1.0)], "rel_id int, name string, weight double"
     )
-    out = str(tmp_path / "report.xlsx")
-    write_xlsx_report(df, out)
-    written = glob.glob(str(tmp_path / "report.*"))
-    assert written, "no report file written"
-    if written[0].endswith(".csv"):
-        import csv
-
-        with open(written[0]) as fh:
-            rows = list(csv.DictReader(fh))
-        assert {r["name"] for r in rows} == {"hypernym", "synonym"}
+    write_xlsx_report(df, str(tmp_path / "report.xlsx"))
+    with open(tmp_path / "report.csv") as fh:
+        rows = list(csv.DictReader(fh))
+    assert {r["name"] for r in rows} == {"hypernym", "synonym"}
+    assert {r["rel_id"] for r in rows} == {"1", "2"}
