@@ -374,3 +374,33 @@ def test_xlsx_report_sink_csv_fallback(spark, tmp_path, monkeypatch):
         rows = list(csv.DictReader(fh))
     assert {r["name"] for r in rows} == {"hypernym", "synonym"}
     assert {r["rel_id"] for r in rows} == {"1", "2"}
+
+
+def test_pagerank_warm_start_after_edge_merge(spark):
+    """North-rule resumability narrative: after an incremental crawl
+    merge grows the edge table, PageRank seeded with the previous ranks
+    (initial_ranks) reaches the same fixpoint as a cold start — in no
+    more iterations."""
+    from plwordnet_spark.graph.build import merge_edge_tables
+    from plwordnet_spark.graph.pagerank import pagerank
+
+    def ring(n, skip, w=1.0):
+        return spark.createDataFrame(
+            [(i, (i + skip) % n, 1, w) for i in range(n)],
+            "src long, dst long, rel_id int, weight double",
+        ).filter("src != dst")
+
+    base = ring(60, 1)
+    r1 = pagerank(spark, base, tol=1e-10, max_iterations=100, weighted=True)
+    grown = merge_edge_tables(base, ring(60, 7))  # crawl found new links
+    cold = pagerank(spark, grown, tol=1e-10, max_iterations=100, weighted=True)
+    warm = pagerank(
+        spark, grown, tol=1e-10, max_iterations=100, weighted=True,
+        initial_ranks=r1.state,
+    )
+    assert warm.converged and cold.converged
+    assert warm.iterations <= cold.iterations
+    got = {r.id: r.rank for r in warm.state.collect()}
+    want = {r.id: r.rank for r in cold.state.collect()}
+    for n, v in want.items():
+        assert got[n] == pytest.approx(v, abs=1e-8)
