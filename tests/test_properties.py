@@ -77,3 +77,61 @@ def test_cc_methods_agree(spark, graph_seed):
         for r in connected_components(spark, edges, nodes=nodes, method="hashmin").state.collect()
     }
     assert a == b
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.integers(min_value=0, max_value=10_000))
+def test_bfs_matches_python_on_random_graphs(spark, graph_seed):
+    """Property: distributed BFS distances equal a pure-Python BFS on
+    arbitrary random digraphs (undirected traversal, seed node 0)."""
+    import random
+    from collections import deque
+
+    from plwordnet_spark.graph.bfs import bfs_distances
+
+    rng = random.Random(graph_seed)
+    n = rng.randint(2, 40)
+    edges = list({
+        (rng.randrange(n), rng.randrange(n)) for _ in range(rng.randint(1, 120))
+    })
+    edges = [(u, v) for u, v in edges if u != v] or [(0, 1)]
+
+    adj: dict = {}
+    nodes = set()
+    for u, v in edges:
+        nodes.update((u, v))
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    src = min(nodes)
+    dist = {src: 0}
+    q = deque([src])
+    while q:
+        u = q.popleft()
+        for v in adj.get(u, ()):
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                q.append(v)
+    want = {x: dist.get(x) for x in nodes}
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.id: r.dist
+        for r in bfs_distances(spark, df, sources=[src]).state.collect()
+    }
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.integers(min_value=0, max_value=10_000))
+def test_k_core_matches_networkx_on_random_graphs(spark, graph_seed):
+    import networkx as nx
+
+    from plwordnet_spark.graph.kcore import k_core
+
+    g = nx.gnp_random_graph(30, 0.15, seed=graph_seed)
+    if g.number_of_edges() == 0:
+        g.add_edge(0, 1)
+    df = spark.createDataFrame(list(g.edges()), "src long, dst long")
+    k = 2 + graph_seed % 3
+    got = {r.id for r in k_core(spark, df, k=k).state.collect()}
+    assert got == set(nx.k_core(g, k).nodes())
