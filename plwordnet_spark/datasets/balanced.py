@@ -43,14 +43,18 @@ def balance_arithmetic(low_count: int, high_count: int, ratio: float = 2.0) -> d
             f"low count {low_count} exceeds {ratio}×high count {high_count}"
         )
     if low_count == 0:
-        return {"add_examples": int(math.ceil(high_count * ratio)), "l_h_ratio": 0}
-    # truncating int(), no intermediate float detour — exact reference
-    # arithmetic (embedder.py:911-913 computes int(ratio * high + 1) -
-    # low; low*(high/low) lands one ulp below the integer and truncates
-    # a whole unit lower, e.g. low=7 high=61 ratio=2 → 115 vs 116)
-    add_examples = int(ratio * high_count + 1) - low_count
-    add_examples = max(add_examples, 0)
-    l_h_ratio = int(round(0.5 + add_examples / low_count))
+        # reference embedder.py:908-909 substitutes l_count = 1 before the
+        # formula rather than special-casing the result
+        low_count = 1
+    # verbatim reference arithmetic (embedder.py:911-913) INCLUDING the
+    # low*(high/low) float detour: when the division lands one ulp below
+    # the integer, truncating int() lands a whole unit lower than the
+    # algebraically-equal int(ratio*high + 1) — e.g. (7, 61, 2.0) → 115,
+    # not 116. Exact parity beats the cleaner formula here.
+    add_examples = (
+        int(ratio * (low_count * (high_count / low_count)) + 1) - low_count
+    )
+    l_h_ratio = round(0.5 + add_examples / low_count)
     return {"add_examples": add_examples, "l_h_ratio": l_h_ratio}
 
 

@@ -44,7 +44,15 @@ _CSR_CACHE: dict = {}
 
 
 def _cache_put(adj_dir: str, token: str, bucket: int, block) -> None:
-    stale = [k for k in _CSR_CACHE if k[0] == adj_dir and k[1] != token]
+    # evict (a) same-directory entries under a stale token and (b) entries
+    # whose staged directory is gone (pagerank's default path stages into a
+    # fresh mkdtemp per call and rmtree's it afterwards — without (b) those
+    # blocks would accumulate in reused workers forever)
+    stale = [
+        k for k in _CSR_CACHE
+        if (k[0] == adj_dir and k[1] != token)
+        or (k[0] != adj_dir and not os.path.isdir(k[0]))
+    ]
     for k in stale:
         del _CSR_CACHE[k]
     _CSR_CACHE[(adj_dir, token, bucket)] = block

@@ -83,7 +83,8 @@ class PregelRunner:
     """Run ``state = step(state)`` to convergence with checkpointing.
 
     ``step``: DataFrame -> DataFrame (pure transformation, no actions).
-    ``delta``: (old, new) -> float; convergence when ``delta < tol``.
+    ``delta``: (old, new) -> float, or -> (float, dict) to attach extra
+    per-iteration metrics; convergence when ``delta < tol``.
     When ``checkpoint_dir`` is set, durable snapshots enable resume;
     otherwise ``localCheckpoint`` truncates lineage in memory.
     """
@@ -105,8 +106,14 @@ class PregelRunner:
         self.checkpoint_interval = checkpoint_interval
         # snapshot retention: keep the newest N state copies on disk
         # (min 2 — the delta action still scans the previous state);
-        # None = keep everything (audit mode)
-        self.retain_snapshots = max(2, retain_snapshots) if retain_snapshots else None
+        # None = keep everything (audit mode). Explicitly reject <2
+        # instead of silently clamping (and 0 must not mean "keep all").
+        if retain_snapshots is not None and retain_snapshots < 2:
+            raise ValueError(
+                "retain_snapshots must be >= 2 (the delta action scans the "
+                "previous snapshot) or None to keep everything"
+            )
+        self.retain_snapshots = retain_snapshots
         # convergence-check cadence: >1 skips the delta action on
         # intermediate iterations (the job may overshoot convergence by
         # up to check_interval-1 iterations — monotone algorithms only)
@@ -163,10 +170,18 @@ class PregelRunner:
                 or iteration == self.max_iterations
             )
             step_delta = delta(state, new_state) if check_now else None
+            # a delta callable may return (value, extra_metrics) to land
+            # algorithm-specific per-iteration metrics (e.g. BFS
+            # frontier_rows) in the runner's metrics / snapshot manifest
+            extra_metrics: dict = {}
+            if isinstance(step_delta, tuple):
+                step_delta, extra_metrics = step_delta
+                step_delta = float(step_delta)
             entry = {
                 "iteration": iteration,
                 "delta": step_delta,
                 "seconds": time.time() - started,
+                **extra_metrics,
             }
             if self.store:
                 self.store.update_metrics(iteration, entry)

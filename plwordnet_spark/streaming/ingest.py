@@ -88,10 +88,14 @@ def stream_pages_to_edges(
         # batches from 0, and new data arriving under an old batch_id
         # must still merge (the reference's resumable skip-already-done
         # pattern, wrappers.py:292-304, made content-aware).
+        # fingerprint covers url AND html bytes: a recrawl that reuses an
+        # old batch_id with the same URL multiset but changed page content
+        # (updated links) must NOT be skipped — only byte-identical
+        # replays are.
         row = batch_pages.agg(
             F.count(F.lit(1)).alias("n"),
             F.coalesce(
-                F.sum(F.xxhash64("url").cast("decimal(38,0)")), F.lit(0)
+                F.sum(F.xxhash64("url", "html").cast("decimal(38,0)")), F.lit(0)
             ).alias("h"),
         ).first()
         n_pages, content_hash = int(row["n"]), str(row["h"])

@@ -107,9 +107,9 @@ def test_weight_partition_and_arithmetic(spark):
     # formula mirror of embedder.py:850-930
     ratio = 2.0
     res = balance_arithmetic(l, h, ratio)
-    expected_add = int(math.ceil(ratio * (l * (h / l)) + 1)) - l
+    expected_add = int(ratio * (l * (h / l)) + 1) - l  # reference truncating int()
     assert res["add_examples"] == expected_add
-    assert res["l_h_ratio"] == int(round(0.5 + expected_add / l))
+    assert res["l_h_ratio"] == round(0.5 + expected_add / l)
     with pytest.raises(ValueError):
         balance_arithmetic(100, 10, ratio=2.0)
 

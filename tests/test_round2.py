@@ -126,16 +126,22 @@ def test_negative_synthesis_cap_partition_invariant(spark):
 def test_balance_arithmetic_reference_truncation():
     from plwordnet_spark.datasets.balanced import balance_arithmetic
 
-    # reference embedder.py:911-913: int(ratio*high + 1) - low (truncating,
-    # straight on high — a low*(high/low) float detour truncates one
-    # lower whenever the division lands below the integer, e.g. 7/61)
+    # reference embedder.py:911-913 VERBATIM, float detour included:
+    # int(ratio * (low * (high / low)) + 1) - low. For (7, 61, 2.0) the
+    # detour truncates to 115 where int(ratio*high + 1) - low gives 116.
     for low, high, ratio in [
         (10, 33, 2.0), (7, 13, 1.5), (3, 10, 2.0), (10, 10, 1.0), (7, 61, 2.0)
     ]:
         got = balance_arithmetic(low, high, ratio)
-        expected = max(int(ratio * high + 1) - low, 0)
+        expected = int(ratio * (low * (high / low)) + 1) - low
         assert got["add_examples"] == expected, (low, high, ratio)
-    assert balance_arithmetic(7, 61, 2.0)["add_examples"] == 116  # not 115
+        assert got["l_h_ratio"] == round(0.5 + expected / low)
+    assert balance_arithmetic(7, 61, 2.0)["add_examples"] == 115  # not 116
+    # low == 0: the reference substitutes low = 1 (embedder.py:908-909)
+    assert balance_arithmetic(0, 61, 2.0) == {
+        "add_examples": int(2.0 * (1 * (61 / 1)) + 1) - 1,
+        "l_h_ratio": round(0.5 + (int(2.0 * (1 * (61 / 1)) + 1) - 1) / 1),
+    }
 
 
 # ---------------------------------------------------------------------------
