@@ -2,16 +2,23 @@
 
 Ties the engine's pieces into the production ingest shape: a Structured
 Streaming source of pages feeds the extraction UDFs, and each
-micro-batch's links are merged into the persistent edge table with
-additive MERGE semantics (graph.build.merge_edge_tables) inside
-``foreachBatch``; every merge commits a snapshot (storage.snapshots)
-carrying batch metrics — so the graph is queryable, resumable, and
-audit-able while the crawl is still running.
+micro-batch's links land in a persistent :class:`EdgeLog` inside
+``foreachBatch`` — so the graph is queryable, resumable, and audit-able
+while the crawl is still running.
+
+The log is **incremental**: every micro-batch writes only its own edge
+delta (bytes written per batch are O(batch), never O(table)), and a
+compaction step every ``compact_every`` batches folds base + deltas into
+a fresh base and expires the chain — the Iceberg MERGE-INTO +
+``expireSnapshots`` shape expressed over the plain-Parquet snapshot
+store (SURVEY.md §7 Iceberg fallback). Readers fold the newest base plus
+subsequent deltas with the same additive merge the batch builder uses
+(graph.build.merge_edge_tables semantics: union → groupBy sum).
 
 At production scale the same topology reads WARC drops from object
 storage (file source with maxFilesPerTrigger as backpressure) and the
-sink is an Iceberg MERGE INTO; here the snapshot store stands in
-(SURVEY.md §7 Iceberg fallback).
+sink is an Iceberg table where deltas are appends and compaction is
+``rewrite_data_files``.
 """
 
 from __future__ import annotations
@@ -21,13 +28,14 @@ from pyspark.sql import functions as F
 
 from plwordnet_spark.corpus import PAGES_SCHEMA
 from plwordnet_spark.extraction.udfs import extract_links_udf
-from plwordnet_spark.graph.build import merge_edge_tables
 from plwordnet_spark.storage.snapshots import SnapshotStore
 
-__all__ = ["read_page_stream", "stream_pages_to_edges"]
+__all__ = ["read_page_stream", "stream_pages_to_edges", "EdgeLog"]
 
 REL_INTRA_DOMAIN = 1
 REL_CROSS_DOMAIN = 2
+
+_EDGE_COLS = ("src", "dst", "rel_id", "weight")
 
 
 def read_page_stream(
@@ -67,29 +75,111 @@ def _batch_edges(pages: DataFrame) -> DataFrame:
     )
 
 
+class EdgeLog:
+    """Incremental edge table = newest base snapshot + delta chain.
+
+    Built on :class:`SnapshotStore`; each snapshot's manifest metrics
+    carry ``kind`` (``"base"`` or ``"delta"``). ``append`` writes ONLY
+    the batch's edges; ``latest`` folds base + deltas additively (one
+    multi-path parquet scan + one groupBy — weights of an edge seen in
+    several snapshots sum, exactly ``merge_edge_tables``). Compaction
+    every ``compact_every`` appends rewrites the folded table as a new
+    base and expires the chain, bounding both read fan-in and disk —
+    expired manifest entries keep their metrics, so batch-replay
+    fingerprints survive retention.
+    """
+
+    def __init__(self, spark: SparkSession, root: str, compact_every: int = 8):
+        if compact_every < 1:
+            raise ValueError("compact_every must be >= 1")
+        self.spark = spark
+        self.store = SnapshotStore(spark, root)
+        self.compact_every = compact_every
+
+    # -- read path ---------------------------------------------------------
+    def _chain(self) -> list[dict]:
+        """Live manifest entries from the newest base onward (all live
+        entries when no base exists yet)."""
+        live = [e for e in self.store.manifest() if not e.get("expired")]
+        for i in range(len(live) - 1, -1, -1):
+            if live[i].get("metrics", {}).get("kind") == "base":
+                return live[i:]
+        return live
+
+    def latest(self) -> tuple[DataFrame, dict] | None:
+        """(merged edge table, newest manifest entry), or None if empty."""
+        chain = self._chain()
+        if not chain:
+            return None
+        newest = chain[-1]
+        if len(chain) == 1:
+            # a lone base or lone delta is already in merged form
+            return self.spark.read.parquet(chain[0]["path"]), newest
+        merged = (
+            self.spark.read.parquet(*[e["path"] for e in chain])
+            .groupBy("src", "dst", "rel_id")
+            .agg(F.sum("weight").alias("weight"))
+        )
+        return merged, newest
+
+    # -- write path --------------------------------------------------------
+    def seen(self, batch_id: int, content_hash: str) -> bool:
+        """True if a batch with this (id, content fingerprint) was already
+        appended — scans ALL manifest entries, expired included."""
+        for entry in self.store.manifest():
+            m = entry.get("metrics", {})
+            if m.get("batch_id") == int(batch_id) and m.get("content_hash") == content_hash:
+                return True
+        return False
+
+    def append(self, delta_edges: DataFrame, batch_id: int, metrics: dict) -> None:
+        """Commit one micro-batch's edges as a delta snapshot; compact
+        when the chain since the last base reaches ``compact_every``."""
+        self.store.write(
+            delta_edges.select(*_EDGE_COLS),
+            iteration=int(batch_id),
+            metrics={**metrics, "kind": "delta"},
+        )
+        chain = self._chain()
+        n_deltas = sum(
+            1 for e in chain if e.get("metrics", {}).get("kind") != "base"
+        )
+        if n_deltas >= self.compact_every:
+            merged, newest = self.latest()
+            self.store.write(
+                merged,
+                iteration=int(newest["iteration"]),
+                metrics={"kind": "base", "compacted_through": newest["snapshot_id"]},
+            )
+            # the new base is the only snapshot a reader needs; expire the
+            # folded chain (manifest metrics survive for replay detection)
+            self.store.prune(keep_last=1)
+
+
 def stream_pages_to_edges(
     spark: SparkSession,
     pages_stream: DataFrame,
     edges_dir: str,
     checkpoint_dir: str,
+    compact_every: int = 8,
 ):
     """Start the ingest query. Returns the StreamingQuery; the caller
     owns its lifecycle. The latest merged edge table is always
-    ``SnapshotStore(spark, edges_dir).latest()``."""
-    store = SnapshotStore(spark, edges_dir)
+    ``EdgeLog(spark, edges_dir).latest()``."""
+    log = EdgeLog(spark, edges_dir, compact_every=compact_every)
 
     def _merge(batch_pages: DataFrame, batch_id: int) -> None:
         # idempotency guard: foreachBatch is at-least-once — if the job
         # died after the snapshot committed but before the streaming
-        # checkpoint did, the replayed micro-batch must NOT be merged
+        # checkpoint did, the replayed micro-batch must NOT be appended
         # again (additive weights would double-count). A batch is
         # identified by (batch_id, content fingerprint), not batch_id
         # order alone: a restart with a FRESH checkpoint re-numbers
         # batches from 0, and new data arriving under an old batch_id
         # must still merge (the reference's resumable skip-already-done
-        # pattern, wrappers.py:292-304, made content-aware).
-        # fingerprint covers url AND html bytes: a recrawl that reuses an
-        # old batch_id with the same URL multiset but changed page content
+        # pattern, wrappers.py:292-304, made content-aware). The
+        # fingerprint covers url AND html bytes: a recrawl reusing an old
+        # batch_id with the same URL multiset but changed page content
         # (updated links) must NOT be skipped — only byte-identical
         # replays are.
         row = batch_pages.agg(
@@ -99,20 +189,11 @@ def stream_pages_to_edges(
             ).alias("h"),
         ).first()
         n_pages, content_hash = int(row["n"]), str(row["h"])
-        for entry in store.manifest():
-            m = entry.get("metrics", {})
-            if m.get("batch_id") == int(batch_id) and m.get("content_hash") == content_hash:
-                return  # exact replay of an already-merged batch
-        new_edges = _batch_edges(batch_pages)
-        latest = store.latest()
-        if latest is None:
-            merged = new_edges.select("src", "dst", "rel_id", "weight")
-        else:
-            existing, _entry = latest
-            merged = merge_edge_tables(existing, new_edges)
-        store.write(
-            merged,
-            iteration=int(batch_id),
+        if log.seen(batch_id, content_hash):
+            return  # exact replay of an already-appended batch
+        log.append(
+            _batch_edges(batch_pages),
+            batch_id=int(batch_id),
             metrics={
                 "batch_id": int(batch_id),
                 "pages_in_batch": n_pages,

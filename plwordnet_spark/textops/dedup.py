@@ -291,6 +291,7 @@ def exact_jaccard_for_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_n: int = 3,
+    max_broadcast_ids: int = 4_000_000,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard for an explicit candidate-pair table.
 
@@ -303,15 +304,20 @@ def exact_jaccard_for_pairs(
     Scale shape: the shingle table is first cut to candidate ids with a
     broadcast semi-join (candidates are ≪ corpus by construction), so
     the full docs×shingles table is never shuffled — only the candidate
-    slice moves. If the candidate id set outgrows broadcast, drop the
-    hint and AQE falls back to a shuffled semi-join.
+    slice moves. The hint is SIZE-CONDITIONAL: the candidate id set is
+    counted (cheap — one column of longs, already aggregated) and the
+    broadcast applies only under ``max_broadcast_ids`` (default 4M ids ≈
+    32 MB serialized); above it, the plain semi-join shuffles instead of
+    OOMing the driver on collect-for-broadcast.
     """
     cand_ids = (
         pairs.select(F.col("id_a").alias(id_col))
         .unionByName(pairs.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    shingled = docs.join(F.broadcast(cand_ids), id_col, "left_semi").select(
+    if cand_ids.count() <= max_broadcast_ids:
+        cand_ids = F.broadcast(cand_ids)
+    shingled = docs.join(cand_ids, id_col, "left_semi").select(
         F.col(id_col),
         F.explode(word_shingles_expr(F.col(text_col), shingle_n)).alias("sh"),
     )

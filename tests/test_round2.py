@@ -329,34 +329,39 @@ def test_simhash_high_hamming_recall(spark):
 
 def test_streaming_ingest_replay_is_idempotent(spark, tmp_path):
     from plwordnet_spark.corpus import generate_pages
-    from plwordnet_spark.storage.snapshots import SnapshotStore
-    from plwordnet_spark.streaming.ingest import read_page_stream, stream_pages_to_edges
+    from plwordnet_spark.streaming.ingest import (
+        EdgeLog,
+        read_page_stream,
+        stream_pages_to_edges,
+    )
 
     pages_dir = str(tmp_path / "pages")
     edges_dir = str(tmp_path / "edges")
     generate_pages(spark, 60, seed=42).write.parquet(pages_dir)
 
+    # compact_every=2 so compaction (which EXPIRES delta snapshots) runs
+    # mid-stream — replay fingerprints must survive retention
     def run_once(ckpt: str):
         q = stream_pages_to_edges(
             spark, read_page_stream(spark, pages_dir, max_files_per_trigger=1),
-            edges_dir, ckpt,
+            edges_dir, ckpt, compact_every=2,
         )
         q.awaitTermination(120)
 
     run_once(str(tmp_path / "ckpt1"))
-    store = SnapshotStore(spark, edges_dir)
+    log = EdgeLog(spark, edges_dir, compact_every=2)
     first = sorted(
-        (r.src, r.dst, r.rel_id, r.weight) for r in store.latest()[0].collect()
+        (r.src, r.dst, r.rel_id, r.weight) for r in log.latest()[0].collect()
     )
-    n_snaps_first = len(store.manifest())
+    n_snaps_first = len(log.store.manifest())
     # at-least-once replay: a fresh checkpoint re-delivers every batch
     # with the same batch_ids — the guard must skip all of them
     run_once(str(tmp_path / "ckpt2"))
     replayed = sorted(
-        (r.src, r.dst, r.rel_id, r.weight) for r in store.latest()[0].collect()
+        (r.src, r.dst, r.rel_id, r.weight) for r in log.latest()[0].collect()
     )
     assert replayed == first  # weights NOT double-counted
-    assert len(store.manifest()) == n_snaps_first  # no new snapshots
+    assert len(log.store.manifest()) == n_snaps_first  # no new snapshots
 
 
 def test_xlsx_report_sink_csv_fallback(spark, tmp_path, monkeypatch):

@@ -73,6 +73,120 @@ def test_retain_snapshots_rejects_below_two(spark):
     PregelRunner(spark, retain_snapshots=None)  # audit mode ok
 
 
+# ---------------------------------------------------------------------------
+# incremental ingest: O(batch) writes + compaction (VERDICT r2 task 2)
+# ---------------------------------------------------------------------------
+
+def test_ingest_writes_deltas_not_full_table(spark, tmp_path):
+    """Each micro-batch must write only its own edges (O(batch) bytes),
+    never a rewrite of the whole merged table; compaction folds the
+    chain into a base and the folded read equals the batch build."""
+    from plwordnet_spark.corpus import generate_pages
+    from plwordnet_spark.graph.build import build_graph
+    from plwordnet_spark.streaming.ingest import (
+        EdgeLog,
+        read_page_stream,
+        stream_pages_to_edges,
+    )
+
+    pages = generate_pages(spark, 150, 42).cache()
+    src_dir = tmp_path / "pages_in"
+    src_dir.mkdir()
+    for i, (lo, hi) in enumerate([(0, 50), (50, 100), (100, 150)]):
+        (
+            pages.filter(
+                f"cast(split_part(url, '/p/', 2) as long) >= {lo} and "
+                f"cast(split_part(url, '/p/', 2) as long) < {hi}"
+            )
+            .coalesce(1)
+            .write.parquet(str(src_dir / f"batch{i}"))
+        )
+    edges_dir = str(tmp_path / "edges_log")
+    q = stream_pages_to_edges(
+        spark,
+        read_page_stream(spark, str(src_dir) + "/*", max_files_per_trigger=1),
+        edges_dir,
+        str(tmp_path / "ckpt"),
+        compact_every=10,  # no compaction within 3 batches
+    )
+    q.awaitTermination(120)
+
+    log = EdgeLog(spark, edges_dir)
+    deltas = [
+        e for e in log.store.manifest()
+        if e["metrics"].get("kind") == "delta" and not e.get("expired")
+    ]
+    assert len(deltas) == 3
+    delta_rows = [spark.read.parquet(e["path"]).count() for e in deltas]
+    merged, _ = log.latest()
+    merged.cache()
+    n_merged = merged.count()
+    # O(batch): every delta holds roughly one batch's edges — none grows
+    # toward the cumulative table size (a full-rewrite log would have
+    # rows ≈ [1x, 2x, 3x batch])
+    assert max(delta_rows) < 0.6 * n_merged, (delta_rows, n_merged)
+    assert max(delta_rows) <= 2 * min(delta_rows), delta_rows
+
+    # the folded chain equals the one-shot batch build
+    got = {(r.src, r.dst, r.rel_id): r.weight for r in merged.collect()}
+    want = {
+        (r.src, r.dst, r.rel_id): r.weight
+        for r in build_graph(pages).edges
+        .select("src", "dst", "rel_id", "weight").collect()
+    }
+    assert got == want
+    merged.unpersist()
+
+    # force a compaction by appending through a tighter log
+    tight = EdgeLog(spark, edges_dir, compact_every=1)
+    extra = spark.createDataFrame(
+        [(1, 2, 1, 1.0)], "src long, dst long, rel_id int, weight double"
+    )
+    tight.append(extra, batch_id=99, metrics={"batch_id": 99})
+    manifest = tight.store.manifest()
+    bases = [e for e in manifest if e["metrics"].get("kind") == "base"]
+    assert bases and not bases[-1].get("expired")
+    live = [e for e in manifest if not e.get("expired")]
+    assert len(live) == 1  # chain folded into the single base
+    merged2, _ = tight.latest()
+    assert merged2.count() == n_merged + 1  # the extra edge survived
+    # expired delta entries keep their replay fingerprints
+    assert all("metrics" in e for e in manifest)
+    pages.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# size-conditional broadcast (VERDICT r2 task 3)
+# ---------------------------------------------------------------------------
+
+def test_exact_jaccard_broadcast_is_size_conditional(spark):
+    """With the broadcast hint disabled (threshold 0) the shuffled
+    semi-join path must produce identical jaccards — a candidate set too
+    big for the driver degrades instead of OOMing."""
+    from plwordnet_spark.textops.dedup import exact_jaccard_for_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon eta"),
+            (3, "one two three four five six"),
+            (4, "alpha beta gamma other words here"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], "id_a long, id_b long"
+    )
+    broadcasted = exact_jaccard_for_pairs(pairs, docs)
+    # threshold 0 forces the no-hint path (Catalyst may still choose a
+    # broadcast strategy for tiny test data — the contract here is that
+    # the un-hinted plan is legal and value-identical)
+    shuffled = exact_jaccard_for_pairs(pairs, docs, max_broadcast_ids=0)
+    got_b = sorted(map(tuple, broadcasted.collect()))
+    got_s = sorted(map(tuple, shuffled.collect()))
+    assert got_b == got_s and len(got_b) == 2  # (1,3) shares no shingle
+
+
 def test_balance_arithmetic_low_zero_substitutes_one():
     from plwordnet_spark.datasets.balanced import balance_arithmetic
 

@@ -271,8 +271,11 @@ def test_streaming_ingest_equals_batch_build(spark, tmp_path):
     maxFilesPerTrigger=1 over multiple files)."""
     from plwordnet_spark.corpus import generate_pages
     from plwordnet_spark.graph.build import build_graph
-    from plwordnet_spark.storage.snapshots import SnapshotStore
-    from plwordnet_spark.streaming.ingest import read_page_stream, stream_pages_to_edges
+    from plwordnet_spark.streaming.ingest import (
+        EdgeLog,
+        read_page_stream,
+        stream_pages_to_edges,
+    )
 
     pages = generate_pages(spark, 150, 42).cache()
     src_dir = tmp_path / "pages_in"
@@ -294,11 +297,13 @@ def test_streaming_ingest_equals_batch_build(spark, tmp_path):
     )
     query.awaitTermination(120)
 
-    store = SnapshotStore(spark, edges_dir)
-    manifest = store.manifest()
+    log = EdgeLog(spark, edges_dir)
+    manifest = log.store.manifest()
     assert len(manifest) >= 2  # incremental merges happened
-    assert sum(e["metrics"]["pages_in_batch"] for e in manifest) == 150
-    final, _ = store.latest()
+    assert sum(
+        e["metrics"].get("pages_in_batch", 0) for e in manifest
+    ) == 150
+    final, _ = log.latest()
     got = {(r.src, r.dst, r.rel_id): r.weight for r in final.collect()}
     batch = build_graph(pages).edges
     want = {
