@@ -394,6 +394,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_language_id": lambda s, d: _q_language_id(s, d),
         "q_quality_score": lambda s, d: _q_quality_score(s, d),
         "q_impute_missing": lambda s, d: _q_impute_missing(s, d),
+        # --- round-3 additions: multimodal + approximate profiling ---
+        "q_media_features": lambda s, d: _q_media_features(s, d),
+        "q_approx_distinct": lambda s, d: _q_approx_distinct(s, d),
+        "q_approx_percentiles": lambda s, d: _q_approx_percentiles(s, d),
     }
 
 
@@ -785,6 +789,82 @@ def _q_impute_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
     imputed = impute_missing_by_group(emb, ["label"])
     return imputed.select("vec_id", F.posexplode("embedding").alias("pos", "x")).select(
         "vec_id", "pos", F.round("x", 6).alias("x")
+    )
+
+
+def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing as a contract query: documents' text bytes
+    treated as an opaque binary media column, run through the real
+    mapInPandas decode-stub seam (multimodal.extract_media_features).
+    The stub features are deterministic per-chunk byte means, so DuckDB
+    can replay them exactly (list comprehension over code points — the
+    corpus is ASCII, so code point == byte)."""
+    from plwordnet_spark.multimodal import extract_media_features
+
+    media = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            F.lit("text").alias("kind"),
+            F.lit("text/plain").alias("mime"),
+            F.col("text").cast("binary").alias("data"),
+            F.lit(None).cast("map<string,string>").alias("meta"),
+        )
+    )
+    feats = extract_media_features(media, dim=8)
+    return feats.select(
+        "media_id", "kind", "n_bytes", "digest",
+        F.posexplode("features").alias("pos", "feat"),
+    )
+
+
+def _q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate profiling for 100 TB curation: HLL++ distinct counts.
+    Sketch estimates differ between engines, so the contract is
+    SELF-CERTIFYING: the row carries the exact count (hash-compared) and
+    a boolean asserting the sketch landed within 5×rsd of it — the
+    oracle emits the exact count and a literal 1, so the hash matches
+    iff the error bound actually held."""
+    rsd = 0.02
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("_exact"),
+            F.approx_count_distinct("o_custkey", rsd).alias("_approx"),
+        )
+        .select(
+            "o_orderpriority",
+            F.col("_exact").cast("long").alias("exact_distinct"),
+            (
+                F.abs(F.col("_approx") - F.col("_exact"))
+                <= F.lit(5 * rsd) * F.col("_exact")
+            ).cast("int").alias("within_bound"),
+        )
+    )
+
+
+def _q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles (Greenwald-Khanna at accuracy 10000) with
+    the same self-certifying shape as q_approx_distinct: exact values
+    hash-compared, sketch asserted within 1% relative error of exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", 0.5).alias("_e50"),
+        F.percentile("l_extendedprice", 0.9).alias("_e90"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("_a50"),
+        F.percentile_approx("l_extendedprice", 0.9, 10000).alias("_a90"),
+    )
+    ok = (
+        (F.abs(F.col("_a50") - F.col("_e50")) <= 0.01 * F.col("_e50"))
+        & (F.abs(F.col("_a90") - F.col("_e90")) <= 0.01 * F.col("_e90"))
+    )
+    return agg.select(
+        "l_returnflag",
+        F.round("_e50", 2).alias("p50_exact"),
+        F.round("_e90", 2).alias("p90_exact"),
+        ok.cast("int").alias("within_bound"),
     )
 
 
@@ -1522,5 +1602,42 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT vec_id, CAST(pos AS INTEGER) AS pos, ROUND(x, 6) AS x
             FROM exploded
+        """,
+        # media stub features: per-chunk byte means over the UTF-8 bytes
+        # (corpus is ASCII → unicode(char) == byte). Replays
+        # multimodal._stub_features exactly: chunk = max(n//8, 1),
+        # part i = bytes[i*chunk:(i+1)*chunk], empty part → 0.0.
+        "q_media_features": """
+            WITH base AS (
+                SELECT doc_id, text, length(text) AS n,
+                       greatest(length(text) // 8, 1) AS chunk,
+                       [unicode(text[j:j]) for j in range(1, length(text) + 1)] AS b
+                FROM documents WHERE doc_id < 100
+            )
+            SELECT doc_id AS media_id,
+                   'text' AS kind,
+                   CAST(n AS BIGINT) AS n_bytes,
+                   substr(sha256(text), 1, 16) AS digest,
+                   CAST(pos AS INTEGER) AS pos,
+                   CASE WHEN len(b[pos * chunk + 1 : least((pos + 1) * chunk, n)]) > 0
+                        THEN list_avg(b[pos * chunk + 1 : least((pos + 1) * chunk, n)]) / 255.0
+                        ELSE 0.0 END AS feat
+            FROM base, generate_series(0, 7) s(pos)
+        """,
+        # self-certifying sketch contracts: exact values hash-compared,
+        # the within_bound flag is 1 on the oracle side — the row hashes
+        # equal iff Spark's sketch actually landed inside the bound
+        "q_approx_distinct": """
+            SELECT o_orderpriority,
+                   CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_distinct,
+                   CAST(1 AS INTEGER) AS within_bound
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "q_approx_percentiles": """
+            SELECT l_returnflag,
+                   ROUND(quantile_cont(l_extendedprice, 0.5), 2) AS p50_exact,
+                   ROUND(quantile_cont(l_extendedprice, 0.9), 2) AS p90_exact,
+                   CAST(1 AS INTEGER) AS within_bound
+            FROM lineitem GROUP BY l_returnflag
         """,
     }

@@ -13,6 +13,7 @@ Reference: ``plwordnet-cli`` / ``plwordnet-milvus`` subcommands
 | --prepare-base-embeddings-* (pooling)    | pool-embeddings              |
 | milvus similarity search                 | similar (exact top-k)        |
 | embedder-dataset-dedupliactor            | dedup                        |
+| (implicit: corpus statistics)            | profile (sketch one-pass)    |
 
 Launch locally (``python -m plwordnet_spark.cli ...``) or on a cluster:
 
@@ -246,6 +247,48 @@ def cmd_dedup(args) -> int:
     return 0
 
 
+def cmd_profile(args) -> int:
+    """Corpus profile via sketches — the one-pass shape that survives
+    100 TB, where exact distinct counts / percentiles would be a full
+    shuffle of the corpus: HLL++ distincts (approx_count_distinct) and
+    Greenwald-Khanna length percentiles (percentile_approx), plus a
+    bounded exact top-k over the low-cardinality lang column."""
+    spark = get_spark("cli-profile", master=args.master)
+    docs = spark.read.parquet(args.documents)
+    text_len = F.length("text")
+    row = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.approx_count_distinct("doc_id", args.rsd).alias("approx_distinct_ids"),
+        F.approx_count_distinct(
+            F.xxhash64(F.lower(F.trim(F.col("text")))), args.rsd
+        ).alias("approx_distinct_texts"),
+        F.percentile_approx(text_len, [0.5, 0.9, 0.99], 10000).alias("len_p"),
+        F.round(F.avg(text_len), 2).alias("mean_len"),
+    ).first()
+    langs = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "lang")
+        .limit(10)
+        .collect()
+    }
+    n_docs = int(row["n_docs"])
+    approx_texts = int(row["approx_distinct_texts"])
+    print(json.dumps({
+        "n_docs": n_docs,
+        "approx_distinct_ids": int(row["approx_distinct_ids"]),
+        "approx_distinct_texts": approx_texts,
+        "approx_exact_dup_rate": round(max(n_docs - approx_texts, 0) / n_docs, 4)
+        if n_docs else 0.0,
+        "len_p50_p90_p99": [int(x) for x in row["len_p"]],
+        "mean_len": float(row["mean_len"]),
+        "top_langs": langs,
+    }))
+    spark.stop()
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="plwordnet-spark")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -303,6 +346,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--ids", type=int, nargs="+", required=True)
     p.add_argument("-k", type=int, default=10)
     p.set_defaults(fn=cmd_similar)
+
+    p = sub.add_parser("profile"); _add_common(p)
+    p.add_argument("--documents", required=True)
+    p.add_argument("--rsd", type=float, default=0.02)
+    p.set_defaults(fn=cmd_profile)
 
     p = sub.add_parser("dedup"); _add_common(p)
     p.add_argument("--documents", required=True)

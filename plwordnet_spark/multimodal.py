@@ -51,14 +51,16 @@ MEDIA_FEATURES_SCHEMA = T.StructType(
 
 def _stub_features(data: bytes, dim: int = 8) -> list[float]:
     """Deterministic stand-in for a decoded-content feature vector:
-    per-chunk byte statistics (NOT a real decode — see decode_real)."""
+    per-chunk byte means (NOT a real decode — see decode_real). Kept
+    un-rounded so the arithmetic (int sum / len / 255.0) is replayable
+    bit-for-bit by a SQL oracle (the driver's q_media_features)."""
     if not data:
         return [0.0] * dim
     chunk = max(1, len(data) // dim)
     out = []
     for i in range(dim):
         part = data[i * chunk : (i + 1) * chunk] or b"\x00"
-        out.append(round(sum(part) / len(part) / 255.0, 6))
+        out.append(sum(part) / len(part) / 255.0)
     return out
 
 

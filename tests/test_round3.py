@@ -187,6 +187,29 @@ def test_exact_jaccard_broadcast_is_size_conditional(spark):
     assert got_b == got_s and len(got_b) == 2  # (1,3) shares no shingle
 
 
+# ---------------------------------------------------------------------------
+# approx profiling CLI (VERDICT r2 task 9)
+# ---------------------------------------------------------------------------
+
+def test_cli_profile_sketches(spark, sf_dir, capsys, monkeypatch):
+    import json
+
+    from plwordnet_spark import cli
+
+    monkeypatch.setattr(cli, "get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
+    assert cli.main([
+        "profile", "--documents", f"{sf_dir}/documents.parquet",
+    ]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["n_docs"] > 0
+    # HLL++ at rsd=0.02: estimate within 10% of truth (doc_ids are unique)
+    assert abs(out["approx_distinct_ids"] - out["n_docs"]) <= 0.1 * out["n_docs"]
+    p50, p90, p99 = out["len_p50_p90_p99"]
+    assert p50 <= p90 <= p99
+    assert out["top_langs"]
+
+
 def test_balance_arithmetic_low_zero_substitutes_one():
     from plwordnet_spark.datasets.balanced import balance_arithmetic
 
