@@ -170,7 +170,18 @@ def main() -> None:
     queries_df = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    timed("cosine_topk", lambda: cosine_topk(emb, queries_df, k=10).count())
+    # median of 3 reps: round-2's apparent 1.08→1.77 s "regression" was
+    # first-run warm-up + host variance (interleaved reps stabilize at
+    # ~0.8 s; rep0 alone can read 4×) — a single cold measurement of a
+    # sub-second query is noise, so this row reports the median and keeps
+    # the raw reps in detail
+    cosine_reps = []
+    for _ in range(3):
+        t0 = time.time()
+        cosine_topk(emb, queries_df, k=10).count()
+        cosine_reps.append(round(time.time() - t0, 3))
+    timings["cosine_topk"] = sorted(cosine_reps)[1]
+    detail["cosine_topk_reps"] = cosine_reps
 
     # reference comparison: the reference's only published throughput is
     # 370.45 per-id vector point-lookups/sec (single-threaded Milvus loop,
@@ -230,6 +241,37 @@ def main() -> None:
             "iterations": big_iters,
             "edge_iters_per_sec": round(n_big * big_iters / timings["pagerank_big"], 1),
             "cpus": CPUS,
+        }
+
+        # CSR path at the same scale — extends the documented CSR-vs-join
+        # crossover data (README) with the point where per-iteration work
+        # dominates; timing includes the one-time adjacency staging.
+        def _pr_big_csr():
+            return pagerank(
+                spark, big, tol=0.0, max_iterations=big_iters,
+                auto_tune=False, check_interval=5, use_csr=True,
+            )
+
+        timed("pagerank_big_csr", _pr_big_csr)
+        detail["pagerank_big"]["csr_edge_iters_per_sec"] = round(
+            n_big * big_iters / timings["pagerank_big_csr"], 1
+        )
+
+        # frontier-based BFS on the same graph: per-round cost must track
+        # the frontier wave, not the reached set (round_seconds should
+        # decay with frontier_rows in the tail)
+        def _bfs_big():
+            return bfs_distances(
+                spark, big, sources=[0], directed=True, max_iterations=30,
+            )
+
+        res_bfs = timed("bfs_big", _bfs_big)
+        detail["bfs_big"] = {
+            "n_edges": n_big,
+            "iterations": res_bfs.iterations,
+            "reached": res_bfs.state.filter("dist IS NOT NULL").count(),
+            "frontier_rows": [m.get("frontier_rows") for m in res_bfs.metrics],
+            "round_seconds": [round(m["seconds"], 2) for m in res_bfs.metrics],
         }
         big.unpersist()
 
