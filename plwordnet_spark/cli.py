@@ -275,14 +275,18 @@ def cmd_profile(args) -> int:
     }
     n_docs = int(row["n_docs"])
     approx_texts = int(row["approx_distinct_texts"])
+    # percentile_approx/avg return NULL on zero rows — keep the empty
+    # profile emitting valid JSON instead of crashing
     print(json.dumps({
         "n_docs": n_docs,
         "approx_distinct_ids": int(row["approx_distinct_ids"]),
         "approx_distinct_texts": approx_texts,
         "approx_exact_dup_rate": round(max(n_docs - approx_texts, 0) / n_docs, 4)
         if n_docs else 0.0,
-        "len_p50_p90_p99": [int(x) for x in row["len_p"]],
-        "mean_len": float(row["mean_len"]),
+        "len_p50_p90_p99": (
+            [int(x) for x in row["len_p"]] if row["len_p"] is not None else None
+        ),
+        "mean_len": float(row["mean_len"]) if row["mean_len"] is not None else None,
         "top_langs": langs,
     }))
     spark.stop()

@@ -16,7 +16,6 @@ result is deterministic, partition-invariant, and needs no global sort
 
 from __future__ import annotations
 
-import math
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F

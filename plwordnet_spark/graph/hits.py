@@ -121,7 +121,10 @@ def hits(
 
     def step(hub_state: DataFrame) -> DataFrame:
         _release_caches()  # previous iteration's state is materialized
-        auth = _mark(_auth_of(hub_state))
+        # auth itself is referenced exactly once (hub_raw's join) — only
+        # the raw gathers need caching; persisting auth would store a
+        # full node vector per iteration for zero reuse
+        auth = _auth_of(hub_state)
         hub_raw = _mark(
             links.join(
                 auth.select(F.col("id").alias("dst"), "authority"), "dst"

@@ -177,11 +177,13 @@ class PregelRunner:
             if isinstance(step_delta, tuple):
                 step_delta, extra_metrics = step_delta
                 step_delta = float(step_delta)
+            # runner-owned keys win on collision: a delta returning e.g.
+            # {'seconds': ...} must not clobber the measured wall time
             entry = {
+                **extra_metrics,
                 "iteration": iteration,
                 "delta": step_delta,
                 "seconds": time.time() - started,
-                **extra_metrics,
             }
             if self.store:
                 self.store.update_metrics(iteration, entry)

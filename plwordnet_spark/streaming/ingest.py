@@ -99,10 +99,13 @@ class EdgeLog:
     # -- read path ---------------------------------------------------------
     def _chain(self) -> list[dict]:
         """Live manifest entries from the newest base onward (all live
-        entries when no base exists yet)."""
+        entries when no base exists yet). Entries with no ``kind`` metric
+        are LEGACY snapshots from the pre-delta format, where every
+        snapshot was a full merged table — each is therefore a base;
+        summing them as deltas would multiply weights."""
         live = [e for e in self.store.manifest() if not e.get("expired")]
         for i in range(len(live) - 1, -1, -1):
-            if live[i].get("metrics", {}).get("kind") == "base":
+            if live[i].get("metrics", {}).get("kind", "base") == "base":
                 return live[i:]
         return live
 
@@ -123,12 +126,22 @@ class EdgeLog:
         return merged, newest
 
     # -- write path --------------------------------------------------------
-    def seen(self, batch_id: int, content_hash: str) -> bool:
+    def seen(self, batch_id: int, content_hash: str, legacy_hash: str | None = None) -> bool:
         """True if a batch with this (id, content fingerprint) was already
-        appended — scans ALL manifest entries, expired included."""
+        appended — scans ALL manifest entries, expired included.
+
+        ``legacy_hash``: the url-only fingerprint the pre-delta format
+        stored (no ``fp_version`` marker on its entries). Matching it for
+        legacy entries keeps replay protection intact for edge logs
+        written before the fingerprint started covering html bytes."""
         for entry in self.store.manifest():
             m = entry.get("metrics", {})
-            if m.get("batch_id") == int(batch_id) and m.get("content_hash") == content_hash:
+            if m.get("batch_id") != int(batch_id):
+                continue
+            if m.get("fp_version") == 2:
+                if m.get("content_hash") == content_hash:
+                    return True
+            elif legacy_hash is not None and m.get("content_hash") == legacy_hash:
                 return True
         return False
 
@@ -187,9 +200,14 @@ def stream_pages_to_edges(
             F.coalesce(
                 F.sum(F.xxhash64("url", "html").cast("decimal(38,0)")), F.lit(0)
             ).alias("h"),
+            # url-only fingerprint, same scan: matches entries written by
+            # the pre-delta format so their replay guard keeps working
+            F.coalesce(
+                F.sum(F.xxhash64("url").cast("decimal(38,0)")), F.lit(0)
+            ).alias("h_legacy"),
         ).first()
         n_pages, content_hash = int(row["n"]), str(row["h"])
-        if log.seen(batch_id, content_hash):
+        if log.seen(batch_id, content_hash, legacy_hash=str(row["h_legacy"])):
             return  # exact replay of an already-appended batch
         log.append(
             _batch_edges(batch_pages),
@@ -198,6 +216,7 @@ def stream_pages_to_edges(
                 "batch_id": int(batch_id),
                 "pages_in_batch": n_pages,
                 "content_hash": content_hash,
+                "fp_version": 2,
             },
         )
 

@@ -304,18 +304,20 @@ def exact_jaccard_for_pairs(
     Scale shape: the shingle table is first cut to candidate ids with a
     broadcast semi-join (candidates are ≪ corpus by construction), so
     the full docs×shingles table is never shuffled — only the candidate
-    slice moves. The hint is SIZE-CONDITIONAL: the candidate id set is
-    counted (cheap — one column of longs, already aggregated) and the
-    broadcast applies only under ``max_broadcast_ids`` (default 4M ids ≈
-    32 MB serialized); above it, the plain semi-join shuffles instead of
-    OOMing the driver on collect-for-broadcast.
+    slice moves. The hint is SIZE-CONDITIONAL via a cheap upper bound:
+    distinct candidate ids ≤ 2·|pairs|, and counting ``pairs`` is a
+    scan with no shuffle (counting the distinct id set itself would run
+    the union+distinct twice — once discarded, once inside the join).
+    Broadcast applies only when the bound is under ``max_broadcast_ids``
+    (default 4M ids ≈ 32 MB serialized); above it, the plain semi-join
+    shuffles instead of OOMing the driver on collect-for-broadcast.
     """
     cand_ids = (
         pairs.select(F.col("id_a").alias(id_col))
         .unionByName(pairs.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    if cand_ids.count() <= max_broadcast_ids:
+    if 2 * pairs.count() <= max_broadcast_ids:
         cand_ids = F.broadcast(cand_ids)
     shingled = docs.join(cand_ids, id_col, "left_semi").select(
         F.col(id_col),

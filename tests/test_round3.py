@@ -155,6 +155,60 @@ def test_ingest_writes_deltas_not_full_table(spark, tmp_path):
     pages.unpersist()
 
 
+def test_edgelog_reads_and_guards_legacy_format(spark, tmp_path):
+    """Pre-delta-format logs: every snapshot was a FULL merged table with
+    a url-only fingerprint and no 'kind' marker. The reader must treat a
+    legacy snapshot as a base (summing it as a delta would multiply
+    weights) and the replay guard must still recognize legacy
+    fingerprints (else a replay double-appends)."""
+    from pyspark.sql import functions as F
+
+    from plwordnet_spark.corpus import generate_pages
+    from plwordnet_spark.storage.snapshots import SnapshotStore
+    from plwordnet_spark.streaming.ingest import (
+        EdgeLog,
+        _batch_edges,
+        read_page_stream,
+        stream_pages_to_edges,
+    )
+
+    pages_dir = str(tmp_path / "pages")
+    edges_dir = str(tmp_path / "edges")
+    generate_pages(spark, 60, seed=42).write.parquet(pages_dir)
+    pages = spark.read.parquet(pages_dir)
+
+    # hand-write a LEGACY snapshot: full merged table, url-only hash,
+    # no kind / fp_version markers (the pre-delta on-disk format)
+    legacy_hash = str(
+        pages.agg(
+            F.coalesce(F.sum(F.xxhash64("url").cast("decimal(38,0)")), F.lit(0))
+        ).first()[0]
+    )
+    store = SnapshotStore(spark, edges_dir)
+    full = _batch_edges(pages)
+    store.write(full, iteration=0, metrics={
+        "batch_id": 0, "pages_in_batch": 60, "content_hash": legacy_hash,
+    })
+    want = sorted((r.src, r.dst, r.rel_id, r.weight) for r in full.collect())
+
+    # reader: the legacy snapshot is a base, returned as-is
+    log = EdgeLog(spark, edges_dir)
+    got = sorted((r.src, r.dst, r.rel_id, r.weight) for r in log.latest()[0].collect())
+    assert got == want
+
+    # replay of the same pages with a fresh checkpoint (single batch):
+    # the legacy fingerprint must be recognized — no new snapshots, no
+    # weight doubling
+    q = stream_pages_to_edges(
+        spark, read_page_stream(spark, pages_dir, max_files_per_trigger=100),
+        edges_dir, str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    assert len(log.store.manifest()) == 1
+    got2 = sorted((r.src, r.dst, r.rel_id, r.weight) for r in log.latest()[0].collect())
+    assert got2 == want
+
+
 # ---------------------------------------------------------------------------
 # size-conditional broadcast (VERDICT r2 task 3)
 # ---------------------------------------------------------------------------
@@ -208,11 +262,3 @@ def test_cli_profile_sketches(spark, sf_dir, capsys, monkeypatch):
     p50, p90, p99 = out["len_p50_p90_p99"]
     assert p50 <= p90 <= p99
     assert out["top_langs"]
-
-
-def test_balance_arithmetic_low_zero_substitutes_one():
-    from plwordnet_spark.datasets.balanced import balance_arithmetic
-
-    got = balance_arithmetic(0, 50, 2.0)
-    # reference embedder.py:908-913 with l_count substituted to 1
-    assert got["add_examples"] == int(2.0 * (1 * (50 / 1)) + 1) - 1
