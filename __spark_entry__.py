@@ -396,6 +396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_impute_missing": lambda s, d: _q_impute_missing(s, d),
         # --- round-3 additions: multimodal + approximate profiling ---
         "q_media_features": lambda s, d: _q_media_features(s, d),
+        "q_doc_fingerprint": lambda s, d: _q_doc_fingerprint(s, d),
         "q_approx_distinct": lambda s, d: _q_approx_distinct(s, d),
         "q_approx_percentiles": lambda s, d: _q_approx_percentiles(s, d),
     }
@@ -816,6 +817,21 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "media_id", "kind", "n_bytes", "digest",
         F.posexplode("features").alias("pos", "feat"),
+    )
+
+
+def _q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprint (k smallest rolling hashes of
+    16-char shingles) with the engine-portable polynomial hash so DuckDB
+    replays it bit-for-bit; the production variant swaps in xxhash64
+    (textops.quality.text_fingerprint) with identical plan shape."""
+    from plwordnet_spark.textops.quality import text_fingerprint_poly
+
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 50)
+        .select("doc_id", text_fingerprint_poly("text").alias("fp"))
+        .select("doc_id", F.posexplode("fp").alias("pos", "fp_hash"))
     )
 
 
@@ -1623,6 +1639,27 @@ def oracle_sql() -> dict[str, str]:
                         THEN list_avg(b[pos * chunk + 1 : least((pos + 1) * chunk, n)]) / 255.0
                         ELSE 0.0 END AS feat
             FROM base, generate_series(0, 7) s(pos)
+        """,
+        # winnowing fingerprint with the portable polynomial hash
+        # (h = (h*31 + code) % 2^31-1 folded over each 16-char shingle's
+        # code points; k=8 smallest distinct hashes, sorted)
+        "q_doc_fingerprint": """
+            WITH fp AS (
+                SELECT doc_id,
+                       list_slice(list_sort(list_distinct(
+                           [ list_reduce(
+                                 [CAST(0 AS BIGINT)] ||
+                                 [CAST(unicode(text[p:p]) AS BIGINT)
+                                  for p in range(i, least(i + 15, length(text)) + 1)],
+                                 (a, c) -> (a * 31 + c) % 2147483647)
+                             for i in range(1, greatest(length(text) - 15, 1) + 1) ]
+                       )), 1, 8) AS f
+                FROM documents WHERE doc_id < 50
+            )
+            SELECT doc_id,
+                   CAST(generate_subscripts(f, 1) - 1 AS INTEGER) AS pos,
+                   unnest(f) AS fp_hash
+            FROM fp
         """,
         # self-certifying sketch contracts: exact values hash-compared,
         # the within_bound flag is 1 on the oracle side — the row hashes

@@ -10,4 +10,5 @@ from plwordnet_spark.textops.quality import (  # noqa: F401
     language_id,
     quality_features,
     text_fingerprint,
+    text_fingerprint_poly,
 )

@@ -16,6 +16,7 @@ __all__ = [
     "quality_features",
     "language_id",
     "text_fingerprint",
+    "text_fingerprint_poly",
 ]
 
 # tiny function-word lists for the n-gram/stopword language heuristic —
@@ -126,4 +127,37 @@ def text_fingerprint(text_col, k: int = 8, shingle_chars: int = 16):
     hashes = F.transform(
         positions, lambda i: F.xxhash64(col.substr(i, F.lit(shingle_chars)))
     )
+    return F.slice(F.array_sort(F.array_distinct(hashes)), 1, k)
+
+
+def text_fingerprint_poly(
+    text_col, k: int = 8, shingle_chars: int = 16, mod: int = 2_147_483_647
+):
+    """:func:`text_fingerprint` with an engine-portable polynomial
+    rolling hash — ``h = (h·31 + code_point) % mod`` folded over each
+    shingle's characters — instead of xxhash64. Slightly slower (per-char
+    fold vs one hash call) but bit-replayable by any SQL engine, which is
+    what the driver's q_doc_fingerprint DuckDB oracle does; use the
+    xxhash64 variant in production pipelines. All expressions are
+    higher-order JVM functions — no Python in the loop."""
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    n = F.length(col)
+    positions = F.sequence(
+        F.lit(1), F.greatest(n - F.lit(shingle_chars - 1), F.lit(1))
+    )
+
+    def _poly(i):
+        # split('', '') yields [''] and ascii('') is 0 — the empty-text
+        # hash is 0 on both engines (DuckDB folds an empty code list)
+        codes = F.transform(
+            F.split(col.substr(i, F.lit(shingle_chars)), ""),
+            lambda c: F.ascii(c).cast("long"),
+        )
+        return F.aggregate(
+            codes,
+            F.lit(0).cast("long"),
+            lambda acc, c: F.pmod(acc * F.lit(31) + c, F.lit(mod)),
+        )
+
+    hashes = F.transform(positions, _poly)
     return F.slice(F.array_sort(F.array_distinct(hashes)), 1, k)
