@@ -397,6 +397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-3 additions: multimodal + approximate profiling ---
         "q_media_features": lambda s, d: _q_media_features(s, d),
         "q_doc_fingerprint": lambda s, d: _q_doc_fingerprint(s, d),
+        "q_sssp_delta_stepping": lambda s, d: _q_sssp_delta(s, d),
         "q_approx_distinct": lambda s, d: _q_approx_distinct(s, d),
         "q_approx_percentiles": lambda s, d: _q_approx_percentiles(s, d),
     }
@@ -680,6 +681,19 @@ def _q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = sssp_distances(
         spark, edges, sources=[0], directed=True, max_iterations=_SSSP_ROUNDS
     )
+    return res.state.select("id", F.col("dist").cast("long").alias("dist"))
+
+
+def _q_sssp_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-stepping SSSP (bucketed Meyer & Sanders) on the same graph
+    and source as q_sssp. The engine runs to full convergence and the
+    plain Bellman-Ford fixpoint lands within 3-4 rounds (≪ the oracle's
+    15 unrolled rounds), so the identical unrolled-relaxation SQL is a
+    valid oracle for the bucketed algorithm's converged distances."""
+    from plwordnet_spark.graph.bfs import delta_stepping_sssp
+
+    edges = _derived_weighted_edges(spark, sf_dir)
+    res = delta_stepping_sssp(spark, edges, sources=[0], directed=True, delta=2.0)
     return res.state.select("id", F.col("dist").cast("long").alias("dist"))
 
 
@@ -1587,6 +1601,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_kcore": _kcore_oracle_sql(),
         "q_sssp": _sssp_oracle_sql(),
+        # same graph/source; the bucketed engine converges fully and the
+        # 15-round unrolled relaxation reaches the same fixpoint
+        "q_sssp_delta_stepping": _sssp_oracle_sql(),
         "q_bfs_distances": _bfs_oracle_sql(),
         "q_hits": _hits_oracle_sql(),
         "q_ngram_jaccard": (

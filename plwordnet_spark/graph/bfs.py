@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from plwordnet_spark.graph.pregel import PregelRunner, PregelResult, loop_tuning
 
-__all__ = ["bfs_distances", "sssp_distances"]
+__all__ = ["bfs_distances", "sssp_distances", "delta_stepping_sssp"]
 
 
 def _source_ids(spark: SparkSession, sources: list[int] | DataFrame) -> DataFrame:
@@ -152,6 +152,149 @@ def bfs_distances(
     return _min_plus_loop(
         spark, rel, ids, init, n_rel, max_iterations,
         checkpoint_dir, checkpoint_interval,
+    )
+
+
+def delta_stepping_sssp(
+    spark: SparkSession,
+    edges: DataFrame,
+    sources: list[int] | DataFrame,
+    delta: float,
+    weight_col: str = "weight",
+    nodes: DataFrame | None = None,
+    directed: bool = False,
+    max_rounds: int = 1000,
+) -> PregelResult:
+    """Meyer & Sanders delta-stepping SSSP (the measured escalation path
+    for heavy-tailed weights — BENCH/DELTA_STEPPING.md).
+
+    Edges are split ONCE into light (w ≤ Δ) and heavy (w > Δ), both
+    cached. Buckets of width Δ are processed in order: within bucket b,
+    light edges relax to fixpoint over the frontier restricted to
+    ``dist < (b+1)Δ`` (the same join + groupBy(min) round as
+    :func:`sssp_distances`); when the bucket drains, heavy edges from
+    its settled nodes relax ONCE (a heavy relaxation lands at
+    ``dist + w > (b+1)Δ``, so the closed bucket never reopens). A node
+    can only be re-relaxed by light chains inside one Δ window, bounding
+    re-relaxation that plain Bellman-Ford pays across the whole weight
+    range. Results are identical to :func:`sssp_distances`
+    (golden-tested); per-round metrics carry ``bucket`` and
+    ``frontier_rows``.
+
+    Driver sees two scalars per round (pending-min for bucket selection
+    happens once per bucket); state is (id, dist, changed) where
+    ``changed`` marks PENDING nodes — improved since they last emitted.
+    """
+    src_ids = _source_ids(spark, sources)
+    ids = _node_ids(edges, nodes)
+
+    rel = edges.select(
+        F.col("src").alias("u"), F.col("dst").alias("v"),
+        F.col(weight_col).cast("double").alias("w"),
+    )
+    if not directed:
+        rel = rel.unionByName(
+            edges.select(
+                F.col("dst").alias("u"), F.col("src").alias("v"),
+                F.col(weight_col).cast("double").alias("w"),
+            )
+        )
+    rel = rel.filter("u != v").groupBy("u", "v").agg(F.min("w").alias("w"))
+    light = rel.filter(F.col("w") <= F.lit(delta)).repartition("u").cache()
+    heavy = rel.filter(F.col("w") > F.lit(delta)).repartition("u").cache()
+    n_light = light.count()
+    heavy.count()
+
+    state = (
+        ids.join(src_ids.withColumn("dist", F.lit(0.0)), "id", "left")
+        .select("id", "dist", F.col("dist").isNotNull().alias("changed"))
+        .localCheckpoint(eager=True)
+    )
+    metrics: list[dict] = []
+    rounds = 0
+    converged = False
+
+    def _relax(frontier_filter, edge_table, clear_emitted: bool) -> DataFrame:
+        """One synchronous relax round: emit from changed∩filter rows,
+        fold min offers into state, recompute pending flags."""
+        frontier = state.filter(F.col("changed") & frontier_filter).select(
+            F.col("id").alias("u"), "dist"
+        )
+        relaxed = (
+            edge_table.join(frontier, "u")
+            .groupBy(F.col("v").alias("id"))
+            .agg(F.min(F.col("dist") + F.col("w")).alias("nbr_dist"))
+        )
+        improved = F.col("nbr_dist").isNotNull() & (
+            F.col("dist").isNull() | (F.col("nbr_dist") < F.col("dist"))
+        )
+        # emitted rows settle (flag cleared) unless improved again this
+        # round; non-emitted pending rows keep their flag for their bucket
+        pending_kept = F.col("changed") & ~frontier_filter if clear_emitted else F.col("changed")
+        return state.join(relaxed, "id", "left").select(
+            "id",
+            F.least(F.col("dist"), F.col("nbr_dist")).alias("dist"),
+            (improved | pending_kept).alias("changed"),
+        )
+
+    with loop_tuning(spark, n_light):
+        while rounds < max_rounds:
+            # next bucket = floor(min pending dist / Δ); the minimum
+            # pending distance is final (no smaller pending node exists
+            # to improve it), so the bucket choice is safe
+            min_pending = state.filter("changed").agg(F.min("dist")).first()[0]
+            if min_pending is None:
+                converged = True
+                break
+            bucket = int(min_pending // delta)
+            bound = F.lit((bucket + 1) * delta)
+            in_bucket = F.col("dist") < bound
+            # inner: light-edge fixpoint within the bucket
+            while rounds < max_rounds:
+                rounds += 1
+                new_state = _relax(in_bucket, light, clear_emitted=True)
+                new_state = new_state.localCheckpoint(eager=True)
+                active = new_state.filter(F.col("changed") & in_bucket).count()
+                metrics.append(
+                    {"iteration": rounds, "bucket": bucket, "phase": "light",
+                     "frontier_rows": active, "delta": float(active)}
+                )
+                state.unpersist()
+                state = new_state
+                if active == 0:
+                    break
+            # bucket drained: one heavy relax from its settled nodes
+            rounds += 1
+            settled = (F.col("dist") >= F.lit(bucket * delta)) & in_bucket
+            # settled rows have changed=False; emit them regardless by
+            # treating the whole settled set as the frontier
+            frontier = state.filter(settled).select(F.col("id").alias("u"), "dist")
+            relaxed = (
+                heavy.join(frontier, "u")
+                .groupBy(F.col("v").alias("id"))
+                .agg(F.min(F.col("dist") + F.col("w")).alias("nbr_dist"))
+            )
+            improved = F.col("nbr_dist").isNotNull() & (
+                F.col("dist").isNull() | (F.col("nbr_dist") < F.col("dist"))
+            )
+            new_state = state.join(relaxed, "id", "left").select(
+                "id",
+                F.least(F.col("dist"), F.col("nbr_dist")).alias("dist"),
+                (improved | F.col("changed")).alias("changed"),
+            ).localCheckpoint(eager=True)
+            touched = new_state.filter("changed").count()
+            metrics.append(
+                {"iteration": rounds, "bucket": bucket, "phase": "heavy",
+                 "frontier_rows": touched, "delta": float(touched)}
+            )
+            state.unpersist()
+            state = new_state
+        final = state.select("id", "dist")
+    light.unpersist()
+    heavy.unpersist()
+    ids.unpersist()
+    return PregelResult(
+        state=final, iterations=rounds, converged=converged, metrics=metrics
     )
 
 

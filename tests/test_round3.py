@@ -241,6 +241,42 @@ def test_exact_jaccard_broadcast_is_size_conditional(spark):
     assert got_b == got_s and len(got_b) == 2  # (1,3) shares no shingle
 
 
+@pytest.mark.parametrize("seed,delta", [(1, 0.5), (2, 1.0), (3, 2.5)])
+def test_delta_stepping_matches_bellman_ford(spark, seed, delta):
+    """Bucketed delta-stepping must produce the identical distance map
+    as frontier Bellman-Ford on random weighted graphs, across bucket
+    widths (Δ smaller than, equal to, and above the max weight)."""
+    import random
+
+    from plwordnet_spark.graph.bfs import delta_stepping_sssp, sssp_distances
+
+    rng = random.Random(seed)
+    n = 40
+    rows = [
+        (rng.randrange(n), rng.randrange(n), round(0.1 + 2.4 * rng.random(), 3))
+        for _ in range(160)
+    ]
+    rows = [(s, d, w) for s, d, w in rows if s != d]
+    edges = spark.createDataFrame(rows, "src long, dst long, weight double")
+    for directed in (True, False):
+        bf = sssp_distances(spark, edges, sources=[0], directed=directed)
+        ds = delta_stepping_sssp(
+            spark, edges, sources=[0], delta=delta, directed=directed
+        )
+        want = {r.id: r.dist for r in bf.state.collect()}
+        got = {r.id: r.dist for r in ds.state.collect()}
+        assert got.keys() == want.keys()
+        for k in want:
+            if want[k] is None:
+                assert got[k] is None, k
+            else:
+                assert abs(got[k] - want[k]) < 1e-9, (k, got[k], want[k])
+        assert ds.converged
+        # buckets were processed in nondecreasing order
+        buckets = [m["bucket"] for m in ds.metrics]
+        assert buckets == sorted(buckets)
+
+
 def test_text_fingerprint_poly_matches_python_replay(spark):
     """The portable polynomial winnowing hash must equal a pure-Python
     replay (same fold, same mod) and behave like a fingerprint: identical
