@@ -112,6 +112,56 @@ def main() -> int:
     eplan = plan_of(pages.select(extract_text_udf("html").alias("t")))
     check("extraction runs as Arrow-batched UDF", "ArrowEvalPython" in eplan)
 
+    # 6. frontier BFS relax round: the state side of the relax join is
+    #    the FRONTIER (filter on the changed flag pushed below the join),
+    #    and the gather min has map-side partial aggregation
+    state = (
+        tables.nodes.select(
+            "id", F.lit(0).cast("long").alias("dist"),
+            (F.col("id") % 7 == 0).alias("changed"),
+        ).localCheckpoint(eager=True)
+    )
+    rel = edges.select(F.col("src").alias("u"), F.col("dst").alias("v"),
+                       F.lit(1).cast("long").alias("w"))
+    frontier = state.filter(F.col("changed")).select(F.col("id").alias("u"), "dist")
+    relax = (
+        rel.join(frontier, "u")
+        .groupBy(F.col("v").alias("id"))
+        .agg(F.min(F.col("dist") + F.col("w")).alias("nbr_dist"))
+    )
+    rplan = plan_of(relax)
+    # the state side entering the join must be pre-filtered on the
+    # changed flag (the frontier); the filter detail block shows
+    # "Condition : changed#N" feeding the join input
+    import re
+
+    check(
+        "BFS relax joins the frontier, not the reached set",
+        bool(re.search(r"Condition : .*changed#", rplan)),
+        "changed-filter below the join",
+    )
+    check("BFS relax min has partial aggregation", "partial_min" in rplan)
+
+    # 7. EdgeLog fold: one multi-path parquet scan + one aggregation —
+    #    reading a base + delta chain must not join snapshot-by-snapshot
+    import tempfile
+
+    from plwordnet_spark.streaming.ingest import EdgeLog
+
+    log = EdgeLog(spark, tempfile.mkdtemp(prefix="audit_edgelog_"))
+    e1 = spark.createDataFrame([(1, 2, 1, 1.0)], "src long, dst long, rel_id int, weight double")
+    e2 = spark.createDataFrame([(1, 2, 1, 2.0)], "src long, dst long, rel_id int, weight double")
+    log.append(e1, 0, {"batch_id": 0})
+    log.append(e2, 1, {"batch_id": 1})
+    lplan = plan_of(log.latest()[0])
+    # exactly one numbered scan node ("(1) Scan parquet" detail header)
+    # over the multi-path file index, no joins, map-side partial sum
+    check(
+        "EdgeLog fold = one scan + one aggregate (no per-snapshot joins)",
+        lplan.count(") Scan parquet") == 1 and "Join" not in lplan
+        and "partial_sum" in lplan,
+    )
+
     print()
     print("=== sample plans ===")
     for title, p in (("pushdown", plan), ("gather", gplan)):
