@@ -364,14 +364,13 @@ def test_streaming_ingest_replay_is_idempotent(spark, tmp_path):
     assert len(log.store.manifest()) == n_snaps_first  # no new snapshots
 
 
-def test_xlsx_report_sink_csv_fallback(spark, tmp_path, monkeypatch):
-    """S8: the CSV fallback path must write the full data when openpyxl
-    is absent — forced deterministically by making to_excel raise."""
-    import csv
-
+def test_xlsx_report_sink_stdlib_fallback(spark, tmp_path, monkeypatch):
+    """S8: with openpyxl absent (forced by making to_excel raise), the
+    sink must still write REAL XLSX via the stdlib xlsx_lite writer."""
     import pandas as pd
 
     from plwordnet_spark.sources.dims import write_xlsx_report
+    from plwordnet_spark.sources.xlsx_lite import read_xlsx
 
     def _no_excel(self, *a, **k):
         raise ImportError("openpyxl not available (forced by test)")
@@ -381,10 +380,9 @@ def test_xlsx_report_sink_csv_fallback(spark, tmp_path, monkeypatch):
         [(1, "hypernym", 0.8), (2, "synonym", 1.0)], "rel_id int, name string, weight double"
     )
     write_xlsx_report(df, str(tmp_path / "report.xlsx"))
-    with open(tmp_path / "report.csv") as fh:
-        rows = list(csv.DictReader(fh))
-    assert {r["name"] for r in rows} == {"hypernym", "synonym"}
-    assert {r["rel_id"] for r in rows} == {"1", "2"}
+    header, rows = read_xlsx(str(tmp_path / "report.xlsx"))
+    assert header == ["rel_id", "name", "weight"]
+    assert sorted(rows) == [[1, "hypernym", 0.8], [2, "synonym", 1.0]]
 
 
 def test_pagerank_warm_start_after_edge_merge(spark):

@@ -312,6 +312,54 @@ def test_text_fingerprint_poly_matches_python_replay(spark):
 
 
 # ---------------------------------------------------------------------------
+# stdlib XLSX (S7/S8 closed natively — no openpyxl in the container)
+# ---------------------------------------------------------------------------
+
+def test_xlsx_lite_roundtrip():
+    import tempfile
+
+    from plwordnet_spark.sources.xlsx_lite import read_xlsx, write_xlsx
+
+    header = ["ID", "name", "embedder_weight_coarse", "flag", "note"]
+    rows = [
+        [1, "hypernym", 0.85, True, "a <b> & 'quote' \"q\""],
+        [2, "holonym", 1.0, False, None],
+        [30, "mero & nym", -0.25, True, "ünïcödé ≥ ok"],
+    ]
+    with tempfile.NamedTemporaryFile(suffix=".xlsx", delete=False) as fh:
+        path = fh.name
+    write_xlsx(path, header, rows)
+    got_header, got_rows = read_xlsx(path)
+    assert got_header == header
+    assert got_rows == rows
+
+
+def test_read_relation_weights_xlsx_native(spark, tmp_path, monkeypatch):
+    """S7: the reference's weights workbook (ID/name/
+    embedder_weight_coarse) reads into the broadcastable dim through the
+    stdlib path even when pandas' excel engine is unavailable."""
+    import pandas as pd
+
+    from plwordnet_spark.sources.dims import read_relation_weights
+    from plwordnet_spark.sources.xlsx_lite import write_xlsx
+
+    path = str(tmp_path / "weights.xlsx")
+    write_xlsx(
+        path,
+        ["ID", "name", "embedder_weight_coarse"],
+        [[10, "hypernym", 0.8], [11, "synonym", 1.0]],
+    )
+
+    def _no_excel(*a, **k):
+        raise ImportError("openpyxl not available (forced by test)")
+
+    monkeypatch.setattr(pd, "read_excel", _no_excel)
+    dim = read_relation_weights(spark, path)
+    got = {(r.rel_id, r.name, r.weight) for r in dim.collect()}
+    assert got == {(10, "hypernym", 0.8), (11, "synonym", 1.0)}
+
+
+# ---------------------------------------------------------------------------
 # approx profiling CLI (VERDICT r2 task 9)
 # ---------------------------------------------------------------------------
 
