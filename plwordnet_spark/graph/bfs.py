@@ -22,7 +22,7 @@ driver oracles are a recursive CTE (BFS) and unrolled relaxation (SSSP).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from plwordnet_spark.graph.pregel import PregelRunner, PregelResult, loop_tuning
@@ -44,6 +44,25 @@ def _node_ids(edges: DataFrame, nodes: DataFrame | None) -> DataFrame:
         .distinct()
         .cache()
     )
+
+
+def _weighted_rel(edges: DataFrame, weight_col: str, directed: bool) -> DataFrame:
+    """Canonical weighted relaxation edges (u, v, w): double weights,
+    reversed copies when undirected, self-loops dropped, parallel edges
+    collapsed to their minimum weight. Shared by Bellman-Ford and
+    delta-stepping so the two can never diverge on edge semantics."""
+    rel = edges.select(
+        F.col("src").alias("u"), F.col("dst").alias("v"),
+        F.col(weight_col).cast("double").alias("w"),
+    )
+    if not directed:
+        rel = rel.unionByName(
+            edges.select(
+                F.col("dst").alias("u"), F.col("src").alias("v"),
+                F.col(weight_col).cast("double").alias("w"),
+            )
+        )
+    return rel.filter("u != v").groupBy("u", "v").agg(F.min("w").alias("w"))
 
 
 def _min_plus_loop(
@@ -185,25 +204,16 @@ def delta_stepping_sssp(
     happens once per bucket); state is (id, dist, changed) where
     ``changed`` marks PENDING nodes — improved since they last emitted.
     """
+    if delta <= 0:
+        raise ValueError(f"delta must be > 0, got {delta}")
     src_ids = _source_ids(spark, sources)
     ids = _node_ids(edges, nodes)
 
-    rel = edges.select(
-        F.col("src").alias("u"), F.col("dst").alias("v"),
-        F.col(weight_col).cast("double").alias("w"),
-    )
-    if not directed:
-        rel = rel.unionByName(
-            edges.select(
-                F.col("dst").alias("u"), F.col("src").alias("v"),
-                F.col(weight_col).cast("double").alias("w"),
-            )
-        )
-    rel = rel.filter("u != v").groupBy("u", "v").agg(F.min("w").alias("w"))
+    rel = _weighted_rel(edges, weight_col, directed)
     light = rel.filter(F.col("w") <= F.lit(delta)).repartition("u").cache()
     heavy = rel.filter(F.col("w") > F.lit(delta)).repartition("u").cache()
     n_light = light.count()
-    heavy.count()
+    n_heavy = heavy.count()
 
     state = (
         ids.join(src_ids.withColumn("dist", F.lit(0.0)), "id", "left")
@@ -263,7 +273,12 @@ def delta_stepping_sssp(
                 state = new_state
                 if active == 0:
                     break
-            # bucket drained: one heavy relax from its settled nodes
+            # bucket drained: one heavy relax from its settled nodes —
+            # skipped entirely when the graph has no heavy edges (e.g. Δ
+            # above the max weight, where delta-stepping degrades to
+            # plain frontier Bellman-Ford)
+            if n_heavy == 0:
+                continue
             rounds += 1
             settled = (F.col("dist") >= F.lit(bucket * delta)) & in_bucket
             # settled rows have changed=False; emit them regardless by
@@ -281,13 +296,19 @@ def delta_stepping_sssp(
                 "id",
                 F.least(F.col("dist"), F.col("nbr_dist")).alias("dist"),
                 (improved | F.col("changed")).alias("changed"),
+                improved.alias("_improved"),
             ).localCheckpoint(eager=True)
-            touched = new_state.filter("changed").count()
+            # frontier_rows = actual heavy relaxations (rows improved by
+            # THIS phase), not the count of all still-pending rows
+            relaxed_rows = new_state.filter("_improved").count()
             metrics.append(
                 {"iteration": rounds, "bucket": bucket, "phase": "heavy",
-                 "frontier_rows": touched, "delta": float(touched)}
+                 "frontier_rows": relaxed_rows, "delta": float(relaxed_rows)}
             )
             state.unpersist()
+            # keep the CHECKPOINTED frame as state (so the next round's
+            # unpersist releases it); the stray _improved column is
+            # dropped by the next _relax select / the final projection
             state = new_state
         final = state.select("id", "dist")
     light.unpersist()
@@ -315,24 +336,7 @@ def sssp_distances(
     between the two on one edge table keeps the same graph."""
     src_ids = _source_ids(spark, sources)
     ids = _node_ids(edges, nodes)
-
-    def _w(col: str) -> Column:
-        return F.col(col).cast("double")
-
-    rel = edges.select(
-        F.col("src").alias("u"), F.col("dst").alias("v"), _w(weight_col).alias("w")
-    )
-    if not directed:
-        rel = rel.unionByName(
-            edges.select(
-                F.col("dst").alias("u"), F.col("src").alias("v"),
-                _w(weight_col).alias("w"),
-            )
-        )
-    rel = (
-        rel.filter("u != v").groupBy("u", "v").agg(F.min("w").alias("w"))
-        .repartition("u").cache()
-    )
+    rel = _weighted_rel(edges, weight_col, directed).repartition("u").cache()
     n_rel = rel.count()
     init = ids.join(
         src_ids.withColumn("dist", F.lit(0.0)), "id", "left"

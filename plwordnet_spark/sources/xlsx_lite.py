@@ -67,6 +67,10 @@ def _cell_xml(ref: str, value) -> str:
     if isinstance(value, bool):
         return f'<c r="{ref}" t="b"><v>{int(value)}</v></c>'
     if isinstance(value, (int, float)):
+        # inf/nan are not valid SpreadsheetML numbers (Excel flags the
+        # workbook as corrupt) — write them as blank cells like None
+        if isinstance(value, float) and (value != value or value in (float("inf"), float("-inf"))):
+            return f'<c r="{ref}"/>'
         return f'<c r="{ref}"><v>{value!r}</v></c>'
     return f'<c r="{ref}" t="inlineStr"><is><t xml:space="preserve">{escape(str(value))}</t></is></c>'
 
@@ -104,11 +108,31 @@ def _ref_to_col(ref: str) -> int:
     return col - 1
 
 
+_REL_NS = "{http://schemas.openxmlformats.org/package/2006/relationships}"
+_DOCREL_NS = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}"
+
+
 def _first_sheet_name(zf: zipfile.ZipFile) -> str:
-    names = zf.namelist()
-    for cand in ("xl/worksheets/sheet1.xml",):
-        if cand in names:
-            return cand
+    """Resolve the workbook's FIRST sheet via workbook.xml sheet order +
+    the workbook rels (a workbook whose parts are sheet10.xml/sheet2.xml
+    after deletions must not be resolved lexicographically)."""
+    names = set(zf.namelist())
+    try:
+        wb = ET.fromstring(zf.read("xl/workbook.xml"))
+        first = wb.find(f"{_NS}sheets/{_NS}sheet")
+        rid = first.get(f"{_DOCREL_NS}id") if first is not None else None
+        if rid:
+            rels = ET.fromstring(zf.read("xl/_rels/workbook.xml.rels"))
+            for rel in rels.findall(f"{_REL_NS}Relationship"):
+                if rel.get("Id") == rid:
+                    target = rel.get("Target").lstrip("/")
+                    cand = target if target.startswith("xl/") else f"xl/{target}"
+                    if cand in names:
+                        return cand
+    except (KeyError, ET.ParseError):
+        pass
+    if "xl/worksheets/sheet1.xml" in names:
+        return "xl/worksheets/sheet1.xml"
     sheets = sorted(n for n in names if n.startswith("xl/worksheets/") and n.endswith(".xml"))
     if not sheets:
         raise ValueError("no worksheet found in workbook")
@@ -145,6 +169,10 @@ def read_xlsx(path: str) -> tuple[list[str], list[list]]:
                         val = v.text == "1"
                     elif t == "str":
                         val = v.text
+                    elif t == "e":
+                        # formula error cell (#DIV/0! etc.) — treat as
+                        # missing rather than crashing on float()
+                        val = None
                     else:
                         f = float(v.text)
                         val = int(f) if f.is_integer() and "e" not in v.text.lower() and "." not in v.text else f

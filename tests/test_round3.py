@@ -334,6 +334,40 @@ def test_xlsx_lite_roundtrip():
     assert got_rows == rows
 
 
+def test_xlsx_lite_edge_cases(tmp_path):
+    """Non-finite floats write as blank cells (Excel rejects inf/nan
+    numerics); formula-error cells read as None instead of crashing."""
+    import zipfile
+
+    from plwordnet_spark.sources.xlsx_lite import read_xlsx, write_xlsx
+
+    p = str(tmp_path / "edge.xlsx")
+    write_xlsx(p, ["a", "b"], [[float("inf"), 1.5], [float("nan"), 2.0]])
+    _, rows = read_xlsx(p)
+    assert rows == [[None, 1.5], [None, 2.0]]
+    # inject an error cell (t="e") into a workbook and read it back
+    with zipfile.ZipFile(p) as zf:
+        parts = {n: zf.read(n) for n in zf.namelist()}
+    sheet = parts["xl/worksheets/sheet1.xml"].decode()
+    sheet = sheet.replace(
+        '<c r="B3"><v>2.0</v></c>', '<c r="B3" t="e"><v>#DIV/0!</v></c>'
+    )
+    with zipfile.ZipFile(p, "w") as zf:
+        for n, data in parts.items():
+            zf.writestr(n, sheet.encode() if n == "xl/worksheets/sheet1.xml" else data)
+    _, rows = read_xlsx(p)
+    assert rows[1] == [None, None]
+
+
+def test_delta_stepping_rejects_nonpositive_delta(spark):
+    from plwordnet_spark.graph.bfs import delta_stepping_sssp
+
+    edges = spark.createDataFrame([(0, 1, 1.0)], "src long, dst long, weight double")
+    for bad in (0.0, -1.0):
+        with pytest.raises(ValueError):
+            delta_stepping_sssp(spark, edges, sources=[0], delta=bad)
+
+
 def test_read_relation_weights_xlsx_native(spark, tmp_path, monkeypatch):
     """S7: the reference's weights workbook (ID/name/
     embedder_weight_coarse) reads into the broadcastable dim through the

@@ -144,16 +144,19 @@ def main() -> int:
 
     # 7. EdgeLog fold: one multi-path parquet scan + one aggregation —
     #    reading a base + delta chain must not join snapshot-by-snapshot
+    import shutil
     import tempfile
 
     from plwordnet_spark.streaming.ingest import EdgeLog
 
-    log = EdgeLog(spark, tempfile.mkdtemp(prefix="audit_edgelog_"))
+    edgelog_dir = tempfile.mkdtemp(prefix="audit_edgelog_")
+    log = EdgeLog(spark, edgelog_dir)
     e1 = spark.createDataFrame([(1, 2, 1, 1.0)], "src long, dst long, rel_id int, weight double")
     e2 = spark.createDataFrame([(1, 2, 1, 2.0)], "src long, dst long, rel_id int, weight double")
     log.append(e1, 0, {"batch_id": 0})
     log.append(e2, 1, {"batch_id": 1})
     lplan = plan_of(log.latest()[0])
+    shutil.rmtree(edgelog_dir, ignore_errors=True)
     # exactly one numbered scan node ("(1) Scan parquet" detail header)
     # over the multi-path file index, no joins, map-side partial sum
     check(
