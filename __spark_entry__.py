@@ -400,7 +400,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sssp_delta_stepping": lambda s, d: _q_sssp_delta(s, d),
         "q_approx_distinct": lambda s, d: _q_approx_distinct(s, d),
         "q_approx_percentiles": lambda s, d: _q_approx_percentiles(s, d),
+        "q_token_counts_bpe": lambda s, d: _q_token_counts_bpe(s, d),
     }
+
+
+def _q_token_counts_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pre-tokenizer counts (word pieces + standalone
+    punctuation, regex \\w+|[^\\w\\s]) — the token-budget estimate a
+    training-data pipeline runs corpus-wide."""
+    from plwordnet_spark.textops.quality import bpe_ish_token_count_expr
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        bpe_ish_token_count_expr(F.col("text")).cast("long").alias("n_bpe_tokens"),
+    )
 
 
 def _q_sentence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1656,6 +1669,12 @@ def oracle_sql() -> dict[str, str]:
                         THEN list_avg(b[pos * chunk + 1 : least((pos + 1) * chunk, n)]) / 255.0
                         ELSE 0.0 END AS feat
             FROM base, generate_series(0, 7) s(pos)
+        """,
+        "q_token_counts_bpe": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT)
+                       AS n_bpe_tokens
+            FROM documents
         """,
         # winnowing fingerprint with the portable polynomial hash
         # (h = (h*31 + code) % 2^31-1 folded over each 16-char shingle's

@@ -15,7 +15,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["EVENTS_SCHEMA", "read_event_stream", "windowed_event_counts", "sessionize_events"]
+__all__ = [
+    "EVENTS_SCHEMA",
+    "read_event_stream",
+    "windowed_event_counts",
+    "sessionize_events",
+    "dedup_events",
+]
 
 EVENTS_SCHEMA = T.StructType(
     [
@@ -66,6 +72,24 @@ def windowed_event_counts(
             "total_value",
         )
     )
+
+
+def dedup_events(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact deduplication on ``keys`` (default event_id) —
+    the crawl-pipeline shape where at-least-once sources re-deliver
+    records. On a stream, ``dropDuplicatesWithinWatermark`` bounds the
+    dedup state to the watermark horizon (an unbounded dropDuplicates
+    would grow state forever at web scale); on a batch frame the same
+    call degrades to plain dropDuplicates, which is how the tests
+    assert stream==batch parity on in-horizon data."""
+    keys = keys or ["event_id"]
+    if events.isStreaming:
+        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+    return events.dropDuplicates(keys)
 
 
 def sessionize_events(

@@ -311,6 +311,35 @@ def test_text_fingerprint_poly_matches_python_replay(spark):
     assert not set(got[0]) & set(got[3])
 
 
+def test_streaming_dedup_equals_batch(spark, sf_dir, tmp_path):
+    """At-least-once redelivery: the same events file staged twice into
+    the stream must dedup (dropDuplicatesWithinWatermark) to exactly the
+    batch dropDuplicates result."""
+    import shutil
+
+    from plwordnet_spark.streaming.windows import dedup_events, read_event_stream
+
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    expected = dedup_events(batch).count()
+    assert expected == batch.select("event_id").distinct().count()
+
+    src_dir = tmp_path / "events_in"
+    src_dir.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", src_dir / "part-0000.parquet")
+    shutil.copy(f"{sf_dir}/events.parquet", src_dir / "part-0001.parquet")  # redelivery
+    stream = read_event_stream(spark, str(src_dir), max_files_per_trigger=1)
+    q = (
+        dedup_events(stream).writeStream.format("memory")
+        .queryName("dedup_out").outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    got = spark.sql("SELECT count(*) AS n FROM dedup_out").first()["n"]
+    q.stop()
+    assert got == expected  # duplicates from the second delivery dropped
+
+
 # ---------------------------------------------------------------------------
 # stdlib XLSX (S7/S8 closed natively — no openpyxl in the container)
 # ---------------------------------------------------------------------------
