@@ -401,7 +401,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_approx_distinct": lambda s, d: _q_approx_distinct(s, d),
         "q_approx_percentiles": lambda s, d: _q_approx_percentiles(s, d),
         "q_token_counts_bpe": lambda s, d: _q_token_counts_bpe(s, d),
+        "q_approx_topk": lambda s, d: _q_approx_topk(s, d),
     }
+
+
+def _q_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitters via approx_top_k (frequent-items sketch) with the
+    self-certifying contract shape: each sketch-reported item joins its
+    exact count (hash-compared) plus a flag asserting the sketch count
+    equaled the exact one — over a low-cardinality column the sketch
+    tracks every item exactly, so the flag must hold."""
+    docs = _t(spark, sf_dir, "documents")
+    sketch = docs.selectExpr("inline(approx_top_k(lang, 3))")  # (item, count)
+    exact = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("exact_n"))
+    return (
+        sketch.join(exact, sketch["item"] == exact["lang"])
+        .select(
+            "lang",
+            "exact_n",
+            (F.col("count") == F.col("exact_n")).cast("int").alias("sketch_exact"),
+        )
+    )
 
 
 def _q_token_counts_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1669,6 +1689,15 @@ def oracle_sql() -> dict[str, str]:
                         THEN list_avg(b[pos * chunk + 1 : least((pos + 1) * chunk, n)]) / 255.0
                         ELSE 0.0 END AS feat
             FROM base, generate_series(0, 7) s(pos)
+        """,
+        # top-3 langs have strictly distinct counts at every tested sf
+        # (no boundary tie for the sketch to resolve arbitrarily)
+        "q_approx_topk": """
+            SELECT lang,
+                   CAST(count(*) AS BIGINT) AS exact_n,
+                   CAST(1 AS INTEGER) AS sketch_exact
+            FROM documents GROUP BY lang
+            ORDER BY count(*) DESC, lang LIMIT 3
         """,
         "q_token_counts_bpe": r"""
             SELECT doc_id,
