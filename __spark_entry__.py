@@ -402,7 +402,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_approx_percentiles": lambda s, d: _q_approx_percentiles(s, d),
         "q_token_counts_bpe": lambda s, d: _q_token_counts_bpe(s, d),
         "q_approx_topk": lambda s, d: _q_approx_topk(s, d),
+        "q_landmark_distances": lambda s, d: _q_landmark_distances(s, d),
     }
+
+
+def _q_landmark_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K BFS floods as one composite-key frontier loop (distance-oracle
+    building block); oracle is a recursive CTE seeded with all K
+    landmarks. Reached pairs only (sparse state)."""
+    from plwordnet_spark.graph.bfs import landmark_distances
+
+    edges = _derived_edges(spark, sf_dir)
+    res = landmark_distances(spark, edges, landmarks=[0, 7, 13])
+    return res.state
 
 
 def _q_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1638,6 +1650,25 @@ def oracle_sql() -> dict[str, str]:
         # 15-round unrolled relaxation reaches the same fixpoint
         "q_sssp_delta_stepping": _sssp_oracle_sql(),
         "q_bfs_distances": _bfs_oracle_sql(),
+        "q_landmark_distances": f"""
+            WITH RECURSIVE edges AS ({_EDGE_SQL_DERIVATION}),
+            und AS (
+                SELECT DISTINCT u, v FROM (
+                    SELECT src AS u, dst AS v FROM edges
+                    UNION ALL SELECT dst AS u, src AS v FROM edges
+                ) WHERE u <> v
+            ),
+            ids AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+            reach(lm, id, d) AS (
+                SELECT id, id, CAST(0 AS BIGINT) FROM ids WHERE id IN (0, 7, 13)
+                UNION
+                SELECT reach.lm, und.v, reach.d + 1 FROM reach
+                JOIN und ON reach.id = und.u
+                WHERE reach.d < 250
+            )
+            SELECT id, lm AS landmark, MIN(d) AS dist
+            FROM reach GROUP BY id, lm
+        """,
         "q_hits": _hits_oracle_sql(),
         "q_ngram_jaccard": (
             f"WITH {_JACCARD_SQL_CTES} "

@@ -27,7 +27,12 @@ from pyspark.sql import functions as F
 
 from plwordnet_spark.graph.pregel import PregelRunner, PregelResult, loop_tuning
 
-__all__ = ["bfs_distances", "sssp_distances", "delta_stepping_sssp"]
+__all__ = [
+    "bfs_distances",
+    "sssp_distances",
+    "delta_stepping_sssp",
+    "landmark_distances",
+]
 
 
 def _source_ids(spark: SparkSession, sources: list[int] | DataFrame) -> DataFrame:
@@ -171,6 +176,77 @@ def bfs_distances(
     return _min_plus_loop(
         spark, rel, ids, init, n_rel, max_iterations,
         checkpoint_dir, checkpoint_interval,
+    )
+
+
+def landmark_distances(
+    spark: SparkSession,
+    edges: DataFrame,
+    landmarks: list[int] | DataFrame,
+    directed: bool = False,
+    max_iterations: int = 100,
+) -> PregelResult:
+    """Hop distances from EACH of K landmarks as one composite-key
+    frontier flood: state rows are reached ``(id, landmark, dist,
+    changed)`` pairs, so the K BFS floods share every edge scan and
+    every shuffle instead of running K separate jobs — the standard
+    distance-oracle / closeness-sampling building block for web graphs
+    (estimate d(u,v) ≤ min_L d(u,L)+d(L,v); closeness ≈ mean landmark
+    distance). State is SPARSE: unreached (id, landmark) pairs simply
+    never appear, so per-round traffic is the composite frontier, and
+    memory is Σ reached pairs, not n·K up front.
+
+    Returns ``state`` = (id, landmark, dist) for reached pairs only.
+    """
+    lms = _source_ids(spark, landmarks).select(F.col("id").alias("lm")).distinct()
+    rel = edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    if not directed:
+        rel = rel.unionByName(
+            edges.select(F.col("dst").alias("u"), F.col("src").alias("v"))
+        )
+    rel = rel.filter("u != v").distinct().repartition("u").cache()
+    n_rel = rel.count()
+
+    init = lms.select(
+        F.col("lm").alias("id"),
+        "lm",
+        F.lit(0).cast("long").alias("dist"),
+        F.lit(True).alias("changed"),
+    )
+
+    def step(state: DataFrame) -> DataFrame:
+        frontier = state.filter(F.col("changed")).select(
+            F.col("id").alias("u"), "lm", "dist"
+        )
+        offers = (
+            rel.join(frontier, "u")
+            .groupBy(F.col("v").alias("id"), "lm")
+            .agg(F.min(F.col("dist") + F.lit(1)).alias("nd"))
+        )
+        # full outer: offers for never-reached (id, lm) pairs APPEND new
+        # state rows (sparse growth); existing rows fold min
+        improved = F.col("nd").isNotNull() & (
+            F.col("dist").isNull() | (F.col("nd") < F.col("dist"))
+        )
+        return state.join(offers, ["id", "lm"], "full").select(
+            "id",
+            "lm",
+            F.least(F.col("dist"), F.col("nd")).alias("dist"),
+            improved.alias("changed"),
+        )
+
+    def delta(old: DataFrame, new: DataFrame):
+        frontier_rows = new.filter(F.col("changed")).count()
+        return float(frontier_rows), {"frontier_rows": frontier_rows}
+
+    runner = PregelRunner(spark, max_iterations=max_iterations, tol=0.5)
+    with loop_tuning(spark, n_rel):
+        res = runner.run(init, step, delta)
+        state = res.state.select("id", F.col("lm").alias("landmark"), "dist")
+    rel.unpersist()
+    return PregelResult(
+        state=state, iterations=res.iterations, converged=res.converged,
+        metrics=res.metrics,
     )
 
 

@@ -241,6 +241,43 @@ def test_exact_jaccard_broadcast_is_size_conditional(spark):
     assert got_b == got_s and len(got_b) == 2  # (1,3) shares no shingle
 
 
+def test_landmark_distances_match_per_source_bfs(spark):
+    """The composite-key flood must equal K independent BFS runs, with
+    unreached (id, landmark) pairs absent (sparse state)."""
+    from collections import deque
+
+    from plwordnet_spark.graph.bfs import landmark_distances
+
+    edges_py = [
+        (0, 1), (1, 2), (2, 3), (3, 0), (2, 4), (4, 5), (5, 6),
+        (7, 8),  # separate component
+        (0, 4), (6, 2), (1, 5),
+    ]
+    edges = spark.createDataFrame(edges_py, "src long, dst long")
+
+    def bfs_py(src):
+        adj: dict = {}
+        for s, d in edges_py:
+            adj.setdefault(s, set()).add(d)
+            adj.setdefault(d, set()).add(s)
+        dist = {src: 0}
+        q = deque([src])
+        while q:
+            u = q.popleft()
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    q.append(v)
+        return dist
+
+    lms = [0, 7, 5]
+    res = landmark_distances(spark, edges, landmarks=lms)
+    got = {(r.id, r.landmark): r.dist for r in res.state.collect()}
+    want = {(n, lm): d for lm in lms for n, d in bfs_py(lm).items()}
+    assert got == want  # equality INCLUDING absence of unreached pairs
+    assert res.converged
+
+
 @pytest.mark.parametrize("seed,delta", [(1, 0.5), (2, 1.0), (3, 2.5)])
 def test_delta_stepping_matches_bellman_ford(spark, seed, delta):
     """Bucketed delta-stepping must produce the identical distance map
