@@ -51,6 +51,19 @@ def _node_ids(edges: DataFrame, nodes: DataFrame | None) -> DataFrame:
     )
 
 
+def _unweighted_rel(edges: DataFrame, directed: bool) -> DataFrame:
+    """Canonical unit-hop relaxation edges (u, v): reversed copies when
+    undirected, self-loops dropped, deduped. Shared by bfs_distances and
+    landmark_distances so the two hop-distance operators can never
+    diverge on edge semantics."""
+    rel = edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    if not directed:
+        rel = rel.unionByName(
+            edges.select(F.col("dst").alias("u"), F.col("src").alias("v"))
+        )
+    return rel.filter("u != v").distinct()
+
+
 def _weighted_rel(edges: DataFrame, weight_col: str, directed: bool) -> DataFrame:
     """Canonical weighted relaxation edges (u, v, w): double weights,
     reversed copies when undirected, self-loops dropped, parallel edges
@@ -159,13 +172,8 @@ def bfs_distances(
     any source id; NULL = unreachable within max_iterations."""
     src_ids = _source_ids(spark, sources)
     ids = _node_ids(edges, nodes)
-    rel = edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
-    if not directed:
-        rel = rel.unionByName(
-            edges.select(F.col("dst").alias("u"), F.col("src").alias("v"))
-        )
     rel = (
-        rel.filter("u != v").distinct()
+        _unweighted_rel(edges, directed)
         .withColumn("w", F.lit(1).cast("long"))
         .repartition("u").cache()
     )
@@ -198,14 +206,21 @@ def landmark_distances(
 
     Returns ``state`` = (id, landmark, dist) for reached pairs only.
     """
-    lms = _source_ids(spark, landmarks).select(F.col("id").alias("lm")).distinct()
-    rel = edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
-    if not directed:
-        rel = rel.unionByName(
-            edges.select(F.col("dst").alias("u"), F.col("src").alias("v"))
-        )
-    rel = rel.filter("u != v").distinct().repartition("u").cache()
+    rel = _unweighted_rel(edges, directed).repartition("u").cache()
     n_rel = rel.count()
+    # restrict landmarks to the graph's node universe — a landmark id
+    # absent from the edge set must not emit a phantom (lm, lm, 0) row
+    # (matches per-source bfs_distances, whose ids join drops it, and
+    # the recursive-CTE oracle, which seeds from edge endpoints)
+    node_ids = (
+        rel.select(F.col("u").alias("lm"))
+        .unionByName(rel.select(F.col("v").alias("lm")))
+        .distinct()
+    )
+    lms = (
+        _source_ids(spark, landmarks).select(F.col("id").alias("lm")).distinct()
+        .join(node_ids, "lm", "left_semi")
+    )
 
     init = lms.select(
         F.col("lm").alias("id"),

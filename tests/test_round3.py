@@ -276,6 +276,10 @@ def test_landmark_distances_match_per_source_bfs(spark):
     want = {(n, lm): d for lm in lms for n, d in bfs_py(lm).items()}
     assert got == want  # equality INCLUDING absence of unreached pairs
     assert res.converged
+    # a landmark absent from the edge set emits NO phantom (lm, lm, 0)
+    res2 = landmark_distances(spark, edges, landmarks=[0, 999])
+    got2 = {(r.id, r.landmark): r.dist for r in res2.state.collect()}
+    assert got2 == {(n, 0): d for n, d in bfs_py(0).items()}
 
 
 @pytest.mark.parametrize("seed,delta", [(1, 0.5), (2, 1.0), (3, 2.5)])
