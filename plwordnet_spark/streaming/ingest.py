@@ -145,13 +145,30 @@ class EdgeLog:
                 return True
         return False
 
+    def _edge_sketch_b64(self, edges: DataFrame) -> str:
+        """HLL sketch of the snapshot's distinct edge keys, serialized
+        for the manifest (the Iceberg per-snapshot-NDV-stats analog).
+        Edge keys merge additively across snapshots, so the folded
+        table's distinct-edge count is exactly the UNION of per-snapshot
+        key sets — mergeable without rescanning any data."""
+        import base64
+
+        row = edges.agg(
+            F.expr("hll_sketch_agg(xxhash64(src, dst, rel_id))").alias("s")
+        ).first()
+        return base64.b64encode(bytes(row["s"])).decode() if row["s"] is not None else ""
+
     def append(self, delta_edges: DataFrame, batch_id: int, metrics: dict) -> None:
         """Commit one micro-batch's edges as a delta snapshot; compact
-        when the chain since the last base reaches ``compact_every``."""
+        when the chain since the last base reaches ``compact_every``.
+        Each snapshot's manifest entry carries an ``edge_hll`` sketch
+        (one O(batch) aggregation) powering :meth:`approx_distinct_edges`."""
+        delta_edges = delta_edges.select(*_EDGE_COLS)
         self.store.write(
-            delta_edges.select(*_EDGE_COLS),
+            delta_edges,
             iteration=int(batch_id),
-            metrics={**metrics, "kind": "delta"},
+            metrics={**metrics, "kind": "delta",
+                     "edge_hll": self._edge_sketch_b64(delta_edges)},
         )
         chain = self._chain()
         n_deltas = sum(
@@ -162,11 +179,37 @@ class EdgeLog:
             self.store.write(
                 merged,
                 iteration=int(newest["iteration"]),
-                metrics={"kind": "base", "compacted_through": newest["snapshot_id"]},
+                metrics={"kind": "base",
+                         "compacted_through": newest["snapshot_id"],
+                         "edge_hll": self._edge_sketch_b64(merged)},
             )
             # the new base is the only snapshot a reader needs; expire the
             # folded chain (manifest metrics survive for replay detection)
             self.store.prune(keep_last=1)
+
+    def approx_distinct_edges(self) -> int | None:
+        """Distinct (src, dst, rel_id) edge count of the CURRENT folded
+        table, estimated by merging the live chain's manifest sketches —
+        no data files are read (at a 100 TB table this is the difference
+        between a metadata lookup and a full scan). Falls back to an
+        exact count over :meth:`latest` when any live snapshot predates
+        the sketches (legacy format). None on an empty log."""
+        import base64
+
+        chain = self._chain()
+        if not chain:
+            return None
+        sketches = [e.get("metrics", {}).get("edge_hll") for e in chain]
+        if any(not s for s in sketches):
+            latest = self.latest()
+            return latest[0].count() if latest else None
+        df = self.spark.createDataFrame(
+            [(base64.b64decode(s),) for s in sketches], "s binary"
+        )
+        row = df.agg(
+            F.expr("hll_sketch_estimate(hll_union_agg(s))").alias("n")
+        ).first()
+        return int(row["n"])
 
 
 def stream_pages_to_edges(

@@ -155,6 +155,33 @@ def test_ingest_writes_deltas_not_full_table(spark, tmp_path):
     pages.unpersist()
 
 
+def test_edgelog_sketch_stats_match_exact(spark, tmp_path):
+    """Per-snapshot HLL sketches in the manifest must merge to the
+    folded table's distinct-edge count without reading any data files
+    (Iceberg per-snapshot NDV stats analog); overlapping edges across
+    snapshots count once."""
+    from plwordnet_spark.streaming.ingest import EdgeLog
+
+    log = EdgeLog(spark, str(tmp_path / "log"), compact_every=100)
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "src long, dst long, rel_id int, weight double"
+    )
+    # batch edges overlap: (1,2) appears in both deltas
+    log.append(mk([(1, 2, 1, 1.0), (3, 4, 1, 1.0)]), 0, {"batch_id": 0})
+    log.append(mk([(1, 2, 1, 2.0), (5, 6, 2, 1.0)]), 1, {"batch_id": 1})
+    exact = log.latest()[0].count()
+    assert exact == 3
+    est = log.approx_distinct_edges()
+    assert est == exact  # tiny cardinality → HLL is exact
+    # every live entry carries a sketch
+    assert all(e["metrics"].get("edge_hll") for e in log._chain())
+    # legacy entries without sketches fall back to the exact count
+    manifest = log.store.manifest()
+    del manifest[0]["metrics"]["edge_hll"]
+    log.store._write_manifest(manifest)
+    assert log.approx_distinct_edges() == exact
+
+
 def test_edgelog_reads_and_guards_legacy_format(spark, tmp_path):
     """Pre-delta-format logs: every snapshot was a FULL merged table with
     a url-only fingerprint and no 'kind' marker. The reader must treat a
