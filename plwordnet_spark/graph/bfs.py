@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from plwordnet_spark.graph.pregel import PregelRunner, PregelResult, loop_tuning
+from plwordnet_spark.storage.snapshots import SnapshotStore
 
 __all__ = [
     "bfs_distances",
@@ -193,6 +194,8 @@ def landmark_distances(
     landmarks: list[int] | DataFrame,
     directed: bool = False,
     max_iterations: int = 100,
+    checkpoint_dir: str | None = None,
+    checkpoint_interval: int = 5,
 ) -> PregelResult:
     """Hop distances from EACH of K landmarks as one composite-key
     frontier flood: state rows are reached ``(id, landmark, dist,
@@ -205,6 +208,15 @@ def landmark_distances(
     memory is Σ reached pairs, not n·K up front.
 
     Returns ``state`` = (id, landmark, dist) for reached pairs only.
+
+    Skew note: the gather groups on the composite (id, lm) key, so a hub
+    node reached by all K landmarks spreads across K shuffle keys — the
+    composite key is itself a K-way salt on hot ids, and a hub LANDMARK
+    is just K floods' worth of ordinary frontier traffic. The residual
+    hot key is a hub id in round 1 (frontier = the landmarks themselves);
+    the map-side partial min bounds that at one row per upstream
+    partition. ``checkpoint_dir`` enables durable resume via the runner
+    (parity with :func:`bfs_distances`).
     """
     rel = _unweighted_rel(edges, directed).repartition("u").cache()
     n_rel = rel.count()
@@ -254,7 +266,10 @@ def landmark_distances(
         frontier_rows = new.filter(F.col("changed")).count()
         return float(frontier_rows), {"frontier_rows": frontier_rows}
 
-    runner = PregelRunner(spark, max_iterations=max_iterations, tol=0.5)
+    runner = PregelRunner(
+        spark, max_iterations=max_iterations, tol=0.5,
+        checkpoint_dir=checkpoint_dir, checkpoint_interval=checkpoint_interval,
+    )
     with loop_tuning(spark, n_rel):
         res = runner.run(init, step, delta)
         state = res.state.select("id", F.col("lm").alias("landmark"), "dist")
@@ -274,6 +289,9 @@ def delta_stepping_sssp(
     nodes: DataFrame | None = None,
     directed: bool = False,
     max_rounds: int = 1000,
+    checkpoint_dir: str | None = None,
+    checkpoint_interval: int = 5,
+    resume: bool = False,
 ) -> PregelResult:
     """Meyer & Sanders delta-stepping SSSP (the measured escalation path
     for heavy-tailed weights — BENCH/DELTA_STEPPING.md).
@@ -294,9 +312,23 @@ def delta_stepping_sssp(
     Driver sees two scalars per round (pending-min for bucket selection
     happens once per bucket); state is (id, dist, changed) where
     ``changed`` marks PENDING nodes — improved since they last emitted.
+
+    **Checkpoint/resume** (same contract as the PregelRunner ops): with
+    ``checkpoint_dir`` set, every ``checkpoint_interval``-th round writes
+    a durable :class:`~plwordnet_spark.storage.snapshots.SnapshotStore`
+    snapshot of the (id, dist, changed) state — the round's bucket/phase
+    metrics land in the manifest — and the final state is always
+    snapshotted on exit. ``resume=True`` restarts from the latest
+    committed snapshot instead of the sources: the outer loop re-derives
+    the active bucket from the minimum pending distance, so a run killed
+    mid-bucket (even mid-light-fixpoint) continues exactly where the
+    snapshot left it — no bucket/phase cursor needs persisting. Without
+    ``checkpoint_dir`` the per-round ``localCheckpoint`` truncates
+    lineage in memory only (fast, not fault-tolerant).
     """
     if delta <= 0:
         raise ValueError(f"delta must be > 0, got {delta}")
+    store = SnapshotStore(spark, checkpoint_dir) if checkpoint_dir else None
     src_ids = _source_ids(spark, sources)
     ids = _node_ids(edges, nodes)
 
@@ -306,14 +338,38 @@ def delta_stepping_sssp(
     n_light = light.count()
     n_heavy = heavy.count()
 
-    state = (
-        ids.join(src_ids.withColumn("dist", F.lit(0.0)), "id", "left")
-        .select("id", "dist", F.col("dist").isNotNull().alias("changed"))
-        .localCheckpoint(eager=True)
-    )
     metrics: list[dict] = []
     rounds = 0
     converged = False
+    resumed = None
+    if resume:
+        if store is None:
+            raise ValueError("resume requires a checkpoint_dir")
+        resumed = store.latest()
+    if resumed is not None:
+        snap_state, entry = resumed
+        # the re-read parquet frame is already lineage-free; the loop's
+        # min-pending scan re-derives the active bucket from it
+        state = snap_state.select("id", "dist", "changed")
+        rounds = int(entry["iteration"])
+    else:
+        state = (
+            ids.join(src_ids.withColumn("dist", F.lit(0.0)), "id", "left")
+            .select("id", "dist", F.col("dist").isNotNull().alias("changed"))
+            .localCheckpoint(eager=True)
+        )
+
+    def _snapshot(checkpointed: DataFrame, entry: dict) -> None:
+        """Durable resume point every checkpoint_interval rounds. Writes
+        the canonical 3-column projection FROM the already-materialized
+        localCheckpoint (one cheap scan, no recompute) and keeps looping
+        on the in-memory frame — the snapshot is for recovery, not the
+        live state (avoids leaking the checkpoint RDD behind a re-read)."""
+        if store is not None and rounds % checkpoint_interval == 0:
+            store.write(checkpointed.select("id", "dist", "changed"), rounds, entry)
+            # ≥2 retained: PregelRunner parity (audit trail of the prior
+            # resume point while the newest commit is in flight)
+            store.prune(keep_last=2)
 
     def _relax(frontier_filter, edge_table, clear_emitted: bool) -> DataFrame:
         """One synchronous relax round: emit from changed∩filter rows,
@@ -356,14 +412,18 @@ def delta_stepping_sssp(
                 new_state = _relax(in_bucket, light, clear_emitted=True)
                 new_state = new_state.localCheckpoint(eager=True)
                 active = new_state.filter(F.col("changed") & in_bucket).count()
-                metrics.append(
-                    {"iteration": rounds, "bucket": bucket, "phase": "light",
-                     "frontier_rows": active, "delta": float(active)}
-                )
+                entry = {"iteration": rounds, "bucket": bucket, "phase": "light",
+                         "frontier_rows": active, "delta": float(active)}
+                metrics.append(entry)
+                _snapshot(new_state, entry)
                 state.unpersist()
                 state = new_state
                 if active == 0:
                     break
+            # max_rounds is an exact budget (the kill point for the
+            # resume contract): stop before the heavy relax overshoots
+            if rounds >= max_rounds:
+                break
             # bucket drained: one heavy relax from its settled nodes —
             # skipped entirely when the graph has no heavy edges (e.g. Δ
             # above the max weight, where delta-stepping degrades to
@@ -392,15 +452,25 @@ def delta_stepping_sssp(
             # frontier_rows = actual heavy relaxations (rows improved by
             # THIS phase), not the count of all still-pending rows
             relaxed_rows = new_state.filter("_improved").count()
-            metrics.append(
-                {"iteration": rounds, "bucket": bucket, "phase": "heavy",
-                 "frontier_rows": relaxed_rows, "delta": float(relaxed_rows)}
-            )
+            entry = {"iteration": rounds, "bucket": bucket, "phase": "heavy",
+                     "frontier_rows": relaxed_rows, "delta": float(relaxed_rows)}
+            metrics.append(entry)
+            _snapshot(new_state, entry)
             state.unpersist()
             # keep the CHECKPOINTED frame as state (so the next round's
             # unpersist releases it); the stray _improved column is
             # dropped by the next _relax select / the final projection
             state = new_state
+        if store is not None:
+            # final durable snapshot so resume() always sees the end
+            # state, whether the loop converged or hit the round budget
+            last = store.manifest()[-1] if store.manifest() else None
+            if last is None or last["iteration"] != rounds:
+                store.write(
+                    state.select("id", "dist", "changed"),
+                    rounds,
+                    metrics[-1] if metrics else {"converged": converged},
+                )
         final = state.select("id", "dist")
     light.unpersist()
     heavy.unpersist()

@@ -171,8 +171,11 @@ class EdgeLog:
                      "edge_hll": self._edge_sketch_b64(delta_edges)},
         )
         chain = self._chain()
+        # default missing 'kind' to "base" exactly as _chain() does —
+        # legacy (pre-delta-format) snapshots are bases; counting them as
+        # deltas here would trigger compaction earlier than compact_every
         n_deltas = sum(
-            1 for e in chain if e.get("metrics", {}).get("kind") != "base"
+            1 for e in chain if e.get("metrics", {}).get("kind", "base") != "base"
         )
         if n_deltas >= self.compact_every:
             merged, newest = self.latest()

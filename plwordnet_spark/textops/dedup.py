@@ -312,6 +312,16 @@ def exact_jaccard_for_pairs(
     (default 4M ids ≈ 32 MB serialized); above it, the plain semi-join
     shuffles instead of OOMing the driver on collect-for-broadcast.
     """
+    # the size check below counts ``pairs`` and the joins re-read it; for
+    # an unmaterialized expensive plan (e.g. fresh MinHash candidate
+    # output) that would execute the whole upstream pipeline twice —
+    # persist it so the count materializes the cache the joins then reuse
+    # (left cached for the lifetime of the returned plan, which still
+    # references it; callers that pre-cached see a no-op)
+    from pyspark import StorageLevel
+
+    if pairs.storageLevel == StorageLevel.NONE:
+        pairs = pairs.persist()
     cand_ids = (
         pairs.select(F.col("id_a").alias(id_col))
         .unionByName(pairs.select(F.col("id_b").alias(id_col)))

@@ -148,7 +148,12 @@ def text_fingerprint_poly(
 
     def _poly(i):
         # split('', '') yields [''] and ascii('') is 0 — the empty-text
-        # hash is 0 on both engines (DuckDB folds an empty code list)
+        # hash is 0 on both engines (DuckDB folds an empty code list).
+        # REQUIRES Spark >= 3.4: SPARK-40194 changed split-on-empty to
+        # drop the trailing empty element; on older Spark every shingle's
+        # fold would gain a trailing ascii('')=0 step (h·31 mod p),
+        # silently breaking parity with the documented polynomial and
+        # the DuckDB oracle. Verified on the pinned Spark 4.1.
         codes = F.transform(
             F.split(col.substr(i, F.lit(shingle_chars)), ""),
             lambda c: F.ascii(c).cast("long"),

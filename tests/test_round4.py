@@ -1,0 +1,198 @@
+"""Round-4 additions: delta-stepping checkpoint/resume, landmark
+checkpointing, EdgeLog legacy compaction cadence, jaccard pair caching."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _weighted_graph(spark, seed=1, n=40, m=160):
+    rng = random.Random(seed)
+    rows = [
+        (rng.randrange(n), rng.randrange(n), round(0.1 + 2.4 * rng.random(), 3))
+        for _ in range(m)
+    ]
+    rows = [(s, d, w) for s, d, w in rows if s != d]
+    return spark.createDataFrame(rows, "src long, dst long, weight double")
+
+
+def _dist_map(res):
+    return {r.id: r.dist for r in res.state.collect()}
+
+
+def _assert_dist_equal(got, want):
+    assert got.keys() == want.keys()
+    for k in want:
+        if want[k] is None:
+            assert got[k] is None, k
+        else:
+            assert abs(got[k] - want[k]) < 1e-9, (k, got[k], want[k])
+
+
+# --- delta-stepping checkpoint/resume (VERDICT r3 task 3) -----------------
+
+
+def test_delta_stepping_kill_and_resume_mid_bucket(spark, tmp_path):
+    """A run killed mid-bucket (round budget exhausted inside a light
+    fixpoint) and resumed from its durable snapshot must produce the
+    identical distance map — and the same total round count — as an
+    uninterrupted run. The outer loop re-derives the active bucket from
+    min pending dist, so no bucket/phase cursor is persisted."""
+    from plwordnet_spark.graph.bfs import delta_stepping_sssp
+    from plwordnet_spark.storage.snapshots import SnapshotStore
+
+    edges = _weighted_graph(spark)
+    full = delta_stepping_sssp(spark, edges, sources=[0], delta=0.5, directed=True)
+    assert full.converged and full.iterations >= 4
+    want = _dist_map(full)
+
+    # kill at a round that is mid-work (its frontier was non-empty, so
+    # the bucket it was processing had not drained) and not the last
+    kill_at = next(
+        i for i, m in enumerate(full.metrics, 1)
+        if i >= 2 and m["frontier_rows"] > 0 and i < full.iterations
+    )
+    ckpt = str(tmp_path / "ds_ckpt")
+    partial = delta_stepping_sssp(
+        spark, edges, sources=[0], delta=0.5, directed=True,
+        max_rounds=kill_at, checkpoint_dir=ckpt, checkpoint_interval=1,
+    )
+    assert not partial.converged
+    assert partial.iterations == kill_at  # exact budget, no heavy overshoot
+    store = SnapshotStore(spark, ckpt)
+    latest = store.latest()
+    assert latest is not None and latest[1]["iteration"] == kill_at
+
+    resumed = delta_stepping_sssp(
+        spark, edges, sources=[0], delta=0.5, directed=True,
+        checkpoint_dir=ckpt, checkpoint_interval=1, resume=True,
+    )
+    assert resumed.converged
+    assert resumed.iterations == full.iterations
+    _assert_dist_equal(_dist_map(resumed), want)
+    # resuming a finished run is a no-op that reports convergence
+    again = delta_stepping_sssp(
+        spark, edges, sources=[0], delta=0.5, directed=True,
+        checkpoint_dir=ckpt, resume=True,
+    )
+    assert again.converged and again.iterations == full.iterations
+    _assert_dist_equal(_dist_map(again), want)
+
+
+def test_delta_stepping_checkpointed_run_matches_plain(spark, tmp_path):
+    """checkpoint_dir must not perturb results; retention keeps the
+    snapshot count bounded and the final state is always snapshotted."""
+    from plwordnet_spark.graph.bfs import delta_stepping_sssp
+    from plwordnet_spark.storage.snapshots import SnapshotStore
+
+    edges = _weighted_graph(spark, seed=2)
+    plain = delta_stepping_sssp(spark, edges, sources=[0], delta=1.0)
+    ckpt = str(tmp_path / "ds_ckpt2")
+    ck = delta_stepping_sssp(
+        spark, edges, sources=[0], delta=1.0,
+        checkpoint_dir=ckpt, checkpoint_interval=3,
+    )
+    _assert_dist_equal(_dist_map(ck), _dist_map(plain))
+    store = SnapshotStore(spark, ckpt)
+    live = [e for e in store.manifest() if not e.get("expired")]
+    assert 1 <= len(live) <= 3  # keep_last=2 retention + final snapshot
+    assert live[-1]["iteration"] == ck.iterations
+    resume_fail = pytest.raises(
+        ValueError, delta_stepping_sssp, spark, edges, sources=[0],
+        delta=1.0, resume=True,
+    )
+    assert "checkpoint_dir" in str(resume_fail.value)
+
+
+# --- landmark distances: durable checkpointing (VERDICT r3 task 7) --------
+
+
+def test_landmark_distances_checkpoint_dir(spark, tmp_path):
+    """landmark_distances with a checkpoint_dir rides the runner's
+    durable snapshots and returns the same sparse (id, landmark, dist)
+    table as the in-memory path."""
+    from plwordnet_spark.graph.bfs import landmark_distances
+    from plwordnet_spark.storage.snapshots import SnapshotStore
+
+    rng = random.Random(7)
+    rows = [(rng.randrange(30), rng.randrange(30)) for _ in range(90)]
+    rows = [(s, d) for s, d in rows if s != d]
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    plain = landmark_distances(spark, edges, landmarks=[0, 3, 5])
+    want = {(r.id, r.landmark): r.dist for r in plain.state.collect()}
+    ckpt = str(tmp_path / "lm_ckpt")
+    ck = landmark_distances(
+        spark, edges, landmarks=[0, 3, 5], checkpoint_dir=ckpt,
+        checkpoint_interval=2,
+    )
+    got = {(r.id, r.landmark): r.dist for r in ck.state.collect()}
+    assert got == want
+    assert SnapshotStore(spark, ckpt).latest() is not None
+
+
+# --- EdgeLog: legacy entries must not skew compaction cadence (ADVICE) ----
+
+
+def test_edgelog_legacy_entries_dont_trigger_early_compaction(spark, tmp_path):
+    """Snapshots without a 'kind' metric (pre-delta format) are bases in
+    _chain(); the compaction counter must default them the same way, or
+    one legacy base + one fresh delta would compact at compact_every=2."""
+    from plwordnet_spark.storage.snapshots import SnapshotStore
+    from plwordnet_spark.streaming.ingest import EdgeLog
+
+    root = str(tmp_path / "log")
+    legacy = spark.createDataFrame(
+        [(1, 2, 1, 1.0)], "src long, dst long, rel_id int, weight double"
+    )
+    SnapshotStore(spark, root).write(legacy, 0, {"batch_id": 0})  # no 'kind'
+    log = EdgeLog(spark, root, compact_every=2)
+    delta = spark.createDataFrame(
+        [(2, 3, 1, 1.0)], "src long, dst long, rel_id int, weight double"
+    )
+    log.append(delta, batch_id=1, metrics={"batch_id": 1})
+    kinds = [
+        e.get("metrics", {}).get("kind", "base")
+        for e in log.store.manifest() if not e.get("expired")
+    ]
+    # one legacy base + one delta, and NO compaction base appended yet
+    assert kinds == ["base", "delta"]
+    # a second delta reaches the threshold and compacts as configured
+    log.append(
+        spark.createDataFrame(
+            [(3, 4, 1, 1.0)], "src long, dst long, rel_id int, weight double"
+        ),
+        batch_id=2, metrics={"batch_id": 2},
+    )
+    live = [e for e in log.store.manifest() if not e.get("expired")]
+    assert [e["metrics"].get("kind", "base") for e in live] == ["base"]
+    merged, _ = log.latest()
+    assert merged.count() == 3
+
+
+# --- exact_jaccard_for_pairs materializes unmaterialized pairs (ADVICE) ---
+
+
+def test_exact_jaccard_caches_pairs_plan(spark):
+    """The size-conditional broadcast check counts the pairs frame; an
+    uncached pairs plan must be persisted so the joins reuse the
+    materialization instead of re-executing the candidate pipeline."""
+    from pyspark import StorageLevel
+
+    from plwordnet_spark.textops.dedup import exact_jaccard_for_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over a lazy dog"),
+         (3, "completely different text with other words entirely")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], "id_a long, id_b long")
+    assert pairs.storageLevel == StorageLevel.NONE
+    out = exact_jaccard_for_pairs(pairs, docs)
+    rows = {(r.id_a, r.id_b): r.jaccard for r in out.collect()}
+    assert rows[(1, 2)] > 0.3
+    assert pairs.storageLevel != StorageLevel.NONE  # persisted by the call
+    pairs.unpersist()
