@@ -8,7 +8,18 @@ on local[$SPARK_GRAFT_CPUS]:
   metric, reported as edges·iterations/sec,
 * connected components (large-star/small-star) on the same edge table,
 * TPC-H-ish scan/agg, multi-join, window top-k on lineitem/orders,
-* MinHash-LSH dedup over documents, exact cosine top-k over embeddings.
+* MinHash-LSH dedup over documents, exact cosine top-k over embeddings,
+* streaming ingest (pages stream → incremental EdgeLog) vs batch build,
+* salted vs unsalted gather on a hub-skewed graph (explicit skew
+  handling evidence for the north rule).
+
+Methodology: this host's throughput varies 2-3× run to run (shared VM),
+so EVERY iterative row is the MEDIAN of $SPARK_GRAFT_BENCH_REPS
+(default 3) INTERLEAVED repetitions — rep r of every row runs before
+rep r+1 of any row, so host drift lands across all rows instead of
+biasing whichever ran last. Raw reps arrays ship in the detail payload
+(`*_reps`). Sub-second relational rows stay single-shot (they are far
+inside the noise floor of the rows that matter).
 
 Output: {"metric": ..., "value": seconds_total, "unit": "sec",
 "queries": {name: sec}, "sf": ..., "pagerank": {...detail...}}
@@ -18,7 +29,9 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -30,7 +43,15 @@ from plwordnet_spark.session import get_spark  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "50000"))
+REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 SEED = 42
+
+
+def _median(xs: list[float]) -> float:
+    # lower-middle for even counts: with 2 reps the upper-middle would
+    # report the WORSE rep, letting one cold run masquerade as the row
+    s = sorted(xs)
+    return s[(len(s) - 1) // 2]
 
 
 def main() -> None:
@@ -44,6 +65,24 @@ def main() -> None:
         out = fn()
         timings[name] = round(time.time() - start, 3)
         return out
+
+    def interleaved(tasks: list[tuple[str, object]], reps: int) -> dict[str, object]:
+        """Run each (name, thunk) ``reps`` times, rep-major (all rows'
+        rep r before any row's rep r+1). Row timing = median; raw reps
+        land in detail['<name>_reps']. Returns first-rep outputs."""
+        rep_times: dict[str, list[float]] = {name: [] for name, _ in tasks}
+        first: dict[str, object] = {}
+        for rep in range(reps):
+            for name, fn in tasks:
+                t0 = time.time()
+                out = fn()
+                rep_times[name].append(round(time.time() - t0, 3))
+                if rep == 0:
+                    first[name] = out
+        for name, xs in rep_times.items():
+            timings[name] = _median(xs)
+            detail[f"{name}_reps"] = xs
+        return first
 
     # --- flagship: corpus → graph → PageRank to convergence ---
     from plwordnet_spark.corpus import generate_pages
@@ -62,54 +101,73 @@ def main() -> None:
 
     tables, n_edges = timed("graph_build", _build)
 
-    def _pr():
-        return pagerank(
-            spark, tables.edges, nodes=tables.nodes, tol=1e-6, max_iterations=60
-        )
+    from plwordnet_spark.graph.bfs import bfs_distances
+    from plwordnet_spark.graph.hits import hits
+    from plwordnet_spark.graph.kcore import k_core
+    from plwordnet_spark.textops.dedup import minhash_lsh_dedup
 
-    pr = timed("pagerank_convergence", _pr)
-    pr_sec = timings["pagerank_convergence"]
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    seed_ids = tables.nodes.orderBy("id").limit(1).select("id")
+
+    def _dedup():
+        kept, pairs = minhash_lsh_dedup(spark, docs, threshold=0.8)
+        return kept.count(), pairs.count()
+
+    first = interleaved(
+        [
+            (
+                "pagerank_convergence",
+                lambda: pagerank(
+                    spark, tables.edges, nodes=tables.nodes, tol=1e-6,
+                    max_iterations=60,
+                ),
+            ),
+            (
+                "pagerank_csr",
+                lambda: pagerank(
+                    spark, tables.edges, nodes=tables.nodes, tol=1e-6,
+                    max_iterations=60, use_csr=True,
+                ),
+            ),
+            (
+                "connected_components",
+                lambda: connected_components(
+                    spark, tables.edges, nodes=tables.nodes
+                ).state.count(),
+            ),
+            (
+                "bfs",
+                lambda: bfs_distances(
+                    spark, tables.edges, sources=seed_ids, nodes=tables.nodes
+                ).state.filter("dist IS NOT NULL").count(),
+            ),
+            (
+                "hits",
+                lambda: hits(
+                    spark, tables.edges, nodes=tables.nodes, max_iterations=10,
+                    tol=0.0,
+                ).state.count(),
+            ),
+            ("kcore", lambda: k_core(spark, tables.edges, k=3).state.count()),
+            ("minhash_dedup", _dedup),
+        ],
+        REPS,
+    )
+    pr = first["pagerank_convergence"]
     detail["pagerank"] = {
         "n_pages": N_PAGES,
         "n_edges": n_edges,
         "iterations": pr.iterations,
         "converged": pr.converged,
-        "edges_per_sec": round(n_edges * pr.iterations / pr_sec, 1),
+        "edges_per_sec": round(
+            n_edges * pr.iterations / timings["pagerank_convergence"], 1
+        ),
         "cpus": CPUS,
+        "csr_edges_per_sec": round(
+            n_edges * first["pagerank_csr"].iterations / timings["pagerank_csr"], 1
+        ),
     }
-
-    def _pr_csr():
-        return pagerank(
-            spark, tables.edges, nodes=tables.nodes, tol=1e-6, max_iterations=60,
-            use_csr=True,
-        )
-
-    pr_csr = timed("pagerank_csr", _pr_csr)
-    detail["pagerank"]["csr_edges_per_sec"] = round(
-        n_edges * pr_csr.iterations / timings["pagerank_csr"], 1
-    )
-
-    timed(
-        "connected_components",
-        lambda: connected_components(spark, tables.edges, nodes=tables.nodes).state.count(),
-    )
-
-    from plwordnet_spark.graph.bfs import bfs_distances
-    from plwordnet_spark.graph.hits import hits
-    from plwordnet_spark.graph.kcore import k_core
-
-    seed_ids = tables.nodes.orderBy("id").limit(1).select("id")
-    timed(
-        "bfs",
-        lambda: bfs_distances(spark, tables.edges, sources=seed_ids, nodes=tables.nodes)
-        .state.filter("dist IS NOT NULL").count(),
-    )
-    timed(
-        "hits",
-        lambda: hits(spark, tables.edges, nodes=tables.nodes, max_iterations=10, tol=0.0)
-        .state.count(),
-    )
-    timed("kcore", lambda: k_core(spark, tables.edges, k=3).state.count())
+    detail["minhash"] = dict(zip(("kept", "dup_pairs"), first["minhash_dedup"]))
 
     # --- relational headliners on the driver tables ---
     lineitem = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
@@ -153,16 +211,7 @@ def main() -> None:
     )
 
     # --- training-data ops ---
-    from plwordnet_spark.textops.dedup import minhash_lsh_dedup
     from plwordnet_spark.vectors.similarity import cosine_topk
-
-    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
-
-    def _dedup():
-        kept, pairs = minhash_lsh_dedup(spark, docs, threshold=0.8)
-        return kept.count(), pairs.count()
-
-    detail["minhash"] = dict(zip(("kept", "dup_pairs"), timed("minhash_dedup", _dedup)))
 
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
@@ -170,18 +219,9 @@ def main() -> None:
     queries_df = emb.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    # median of 3 reps: round-2's apparent 1.08→1.77 s "regression" was
-    # first-run warm-up + host variance (interleaved reps stabilize at
-    # ~0.8 s; rep0 alone can read 4×) — a single cold measurement of a
-    # sub-second query is noise, so this row reports the median and keeps
-    # the raw reps in detail
-    cosine_reps = []
-    for _ in range(3):
-        t0 = time.time()
-        cosine_topk(emb, queries_df, k=10).count()
-        cosine_reps.append(round(time.time() - t0, 3))
-    timings["cosine_topk"] = sorted(cosine_reps)[1]
-    detail["cosine_topk_reps"] = cosine_reps
+    interleaved(
+        [("cosine_topk", lambda: cosine_topk(emb, queries_df, k=10).count())], REPS
+    )
 
     # reference comparison: the reference's only published throughput is
     # 370.45 per-id vector point-lookups/sec (single-threaded Milvus loop,
@@ -206,19 +246,184 @@ def main() -> None:
         return emb_cached.join(ids, "vec_id", "left_semi").count()
 
     n_batch = timed("point_lookup_batch", _key_join_batch)
+
+    # (c) the storage-side fix: the same sequential loop over a table
+    #     bucketed+sorted by the key — each job scans ONE bucket's files
+    #     (plan shows SelectedBucketsCount: 1 out of 16; explain_audit
+    #     check 8), the fewer-files-per-lookup path that closes the
+    #     sequential gap architecturally at scale. Write cost excluded
+    #     (one-time layout decision, like building an index).
+    from plwordnet_spark.storage.bucketed import bucket_pruned_scans, write_bucketed
+
+    write_bucketed(emb, "bench_emb_by_id", ["vec_id"], n_buckets=16,
+                   sort_cols=["vec_id"])
+    emb_bucketed = spark.table("bench_emb_by_id")
+
+    def _point_lookup_loop_bucketed(n_queries: int = 40):
+        with bucket_pruned_scans(spark):
+            for qid in range(n_queries):
+                emb_bucketed.filter(F.col("vec_id") == qid % n_emb).collect()
+        return n_queries
+
+    n_loopb = timed("point_lookup_loop_bucketed", _point_lookup_loop_bucketed)
     detail["point_lookups"] = {
         "sequential_loop_n": n_loop,
         "sequential_lookups_per_sec": round(n_loop / timings["point_lookup_loop"], 1),
         "batch_key_join_n": n_batch,
         "batch_key_join_rows_per_sec": round(n_batch / timings["point_lookup_batch"], 1),
+        "bucketed_loop_n": n_loopb,
+        "bucketed_lookups_per_sec": round(
+            n_loopb / timings["point_lookup_loop_bucketed"], 1
+        ),
         "reference_lookups_per_sec": 370.45,
     }
+    spark.sql("DROP TABLE IF EXISTS bench_emb_by_id")
     emb_cached.unpersist()
+
+    # --- streaming ingest vs batch build -----------------------------
+    # the production ingest topology end-to-end: pages land as files, the
+    # availableNow stream folds each micro-batch's links into the EdgeLog
+    # (O(batch) delta writes + compaction). Reported as pages/sec against
+    # the batch build_graph rate on the same pages. Single-shot: the row
+    # is dominated by per-micro-batch fixed costs, not host drift.
+    ingest_pages = int(os.environ.get("SPARK_GRAFT_BENCH_INGEST_PAGES", "50000"))
+    if ingest_pages > 0:
+        from plwordnet_spark.streaming.ingest import (
+            EdgeLog,
+            read_page_stream,
+            stream_pages_to_edges,
+        )
+
+        ingest_root = tempfile.mkdtemp(prefix="plwn_bench_ingest_")
+        pages_dir = os.path.join(ingest_root, "pages")
+        (
+            generate_pages(spark, ingest_pages, SEED + 1)
+            .repartition(8)
+            .write.parquet(pages_dir)
+        )
+
+        def _ingest():
+            q = stream_pages_to_edges(
+                spark,
+                read_page_stream(spark, pages_dir, max_files_per_trigger=2),
+                edges_dir=os.path.join(ingest_root, "edges"),
+                checkpoint_dir=os.path.join(ingest_root, "ckpt"),
+                compact_every=3,
+            )
+            q.awaitTermination()
+            merged, newest = EdgeLog(spark, os.path.join(ingest_root, "edges")).latest()
+            return merged.count(), newest
+
+        n_stream_edges, newest = timed("ingest_stream", _ingest)
+
+        # same stream folded as ONE micro-batch: isolates the per-batch
+        # fixed tax (fingerprint pass + HLL sketch + snapshot commit per
+        # batch) from the streaming topology itself — at production batch
+        # sizes the fixed cost amortizes toward this number
+        def _ingest_one_batch():
+            q = stream_pages_to_edges(
+                spark,
+                read_page_stream(spark, pages_dir, max_files_per_trigger=8),
+                edges_dir=os.path.join(ingest_root, "edges1"),
+                checkpoint_dir=os.path.join(ingest_root, "ckpt1"),
+                compact_every=8,
+            )
+            q.awaitTermination()
+            merged, _ = EdgeLog(spark, os.path.join(ingest_root, "edges1")).latest()
+            return merged.count()
+
+        n_stream1_edges = timed("ingest_stream_1batch", _ingest_one_batch)
+
+        def _ingest_batch():
+            t = build_graph(spark.read.parquet(pages_dir))
+            return t.edges.count()
+
+        n_batch_edges = timed("ingest_batch_equiv", _ingest_batch)
+        detail["ingest_stream"] = {
+            "pages": ingest_pages,
+            "micro_batches": 4,
+            "edges": n_stream_edges,
+            "edges_1batch": n_stream1_edges,
+            "batch_edges": n_batch_edges,
+            "pages_per_sec": round(ingest_pages / timings["ingest_stream"], 1),
+            "pages_per_sec_1batch": round(
+                ingest_pages / timings["ingest_stream_1batch"], 1
+            ),
+            "batch_pages_per_sec": round(ingest_pages / timings["ingest_batch_equiv"], 1),
+            "stream_over_batch": round(
+                timings["ingest_stream"] / timings["ingest_batch_equiv"], 2
+            ),
+            "stream_1batch_over_batch": round(
+                timings["ingest_stream_1batch"] / timings["ingest_batch_equiv"], 2
+            ),
+        }
+        shutil.rmtree(ingest_root, ignore_errors=True)
+
+    # --- skew: salted vs unsalted gather on a hub-heavy graph --------
+    # the north rule names explicit skew handling; this row pair is the
+    # evidence. Graph: power-law dst + ~10% of ALL edges pointing at one
+    # hub id (a Common-Crawl-style "facebook.com problem"). Interleaved
+    # reps like every other iterative row.
+    skew_edges_target = int(os.environ.get("SPARK_GRAFT_BENCH_SKEW_EDGES", "8000000"))
+    if skew_edges_target > 0:
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+        from run_scaling import _make_edges
+
+        n_skew_nodes = max(skew_edges_target // 10, 1)
+        hub = F.pmod(F.xxhash64("src", F.lit(7)), F.lit(100)) < F.lit(10)
+        skewed = (
+            _make_edges(spark, skew_edges_target, n_skew_nodes)
+            .withColumn("dst", F.when(hub, F.lit(0)).otherwise(F.col("dst")))
+            .filter("src != dst")
+            .repartition(CPUS, "src")
+            .cache()
+        )
+        n_skewed = skewed.count()
+        skew_iters = 5
+        interleaved(
+            [
+                (
+                    "pagerank_skew_unsalted",
+                    lambda: pagerank(
+                        spark, skewed, tol=0.0, max_iterations=skew_iters,
+                        auto_tune=False, check_interval=5,
+                    ),
+                ),
+                (
+                    "pagerank_skew_salted",
+                    lambda: pagerank(
+                        spark, skewed, tol=0.0, max_iterations=skew_iters,
+                        auto_tune=False, check_interval=5,
+                        salted_gather=True, n_salts=CPUS,
+                    ),
+                ),
+            ],
+            REPS,
+        )
+        hub_rows = (
+            skewed.groupBy("dst").count().orderBy(F.desc("count")).limit(1).first()
+        )
+        detail["pagerank_skew"] = {
+            "n_edges": n_skewed,
+            "iterations": skew_iters,
+            "top_dst_edges": int(hub_rows["count"]),
+            "top_dst_share": round(hub_rows["count"] / n_skewed, 4),
+            "unsalted_edge_iters_per_sec": round(
+                n_skewed * skew_iters / timings["pagerank_skew_unsalted"], 1
+            ),
+            "salted_edge_iters_per_sec": round(
+                n_skewed * skew_iters / timings["pagerank_skew_salted"], 1
+            ),
+        }
+        skewed.unpersist()
 
     # large synthetic PageRank: fixed-size power-law graph where per-
     # iteration work dominates fixed costs — the scale row the corpus
     # graph (142k edges) can't provide. SPARK_GRAFT_BENCH_BIG_EDGES=0
-    # disables; graph generation is excluded from the timing.
+    # disables; graph generation is excluded from the timing. Single-shot
+    # by budget: at 65-90 s/row the medians would double the bench; the
+    # round-over-round signal for these rows is edge_iters_per_sec ±
+    # the documented host band.
     big_edges_target = int(os.environ.get("SPARK_GRAFT_BENCH_BIG_EDGES", "22000000"))
     if big_edges_target > 0:
         sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
@@ -286,6 +491,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "reps": REPS,
                 **detail,
             }
         )

@@ -18,9 +18,37 @@ and a ``spark.sql.warehouse.dir``.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["write_bucketed", "read_table", "bucketed_edges_tables"]
+__all__ = [
+    "write_bucketed",
+    "read_table",
+    "bucketed_edges_tables",
+    "bucket_pruned_scans",
+]
+
+
+@contextmanager
+def bucket_pruned_scans(spark: SparkSession):
+    """Keep bucketed reading ON for filter-only queries.
+
+    Spark's DisableUnnecessaryBucketedScan rule turns bucketed reading
+    off when no downstream operator needs the hash distribution — which
+    also forfeits bucket PRUNING for plain key-equality lookups. Inside
+    this context a ``key = x`` filter on a bucketed-by-key table scans
+    one bucket's files (plan: ``SelectedBucketsCount: 1 out of N``) —
+    at 100 TB, 1/N of the table per lookup instead of all of it, the
+    storage-side analog of an index probe. The conf is read at planning
+    time, so run the lookup's action inside the context."""
+    key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    prev = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
 
 
 def write_bucketed(

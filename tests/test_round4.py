@@ -3,6 +3,7 @@ checkpointing, EdgeLog legacy compaction cadence, jaccard pair caching."""
 
 from __future__ import annotations
 
+import os
 import random
 
 import pytest
@@ -170,6 +171,40 @@ def test_edgelog_legacy_entries_dont_trigger_early_compaction(spark, tmp_path):
     assert [e["metrics"].get("kind", "base") for e in live] == ["base"]
     merged, _ = log.latest()
     assert merged.count() == 3
+
+
+# --- bucketed point lookup prunes to one bucket ---------------------------
+
+
+def test_bucket_pruned_point_lookup(spark):
+    """A key-equality lookup on a table bucketed by that key must scan
+    one bucket (SelectedBucketsCount: 1 out of N) and return the same
+    rows as the unbucketed scan."""
+    from plwordnet_spark.storage.bucketed import bucket_pruned_scans, write_bucketed
+
+    df = spark.range(200).select(
+        F.col("id").alias("vec_id"), (F.col("id") * 3).alias("payload")
+    )
+    spark.sql("DROP TABLE IF EXISTS t_bucket_prune")
+    # a crashed earlier run can leave the managed location behind after
+    # the catalog entry is gone; clear it or saveAsTable refuses
+    import shutil
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(os.path.join(warehouse, "t_bucket_prune"), ignore_errors=True)
+    write_bucketed(df, "t_bucket_prune", ["vec_id"], n_buckets=8,
+                   sort_cols=["vec_id"])
+    lookup = spark.table("t_bucket_prune").filter(F.col("vec_id") == 42)
+    with bucket_pruned_scans(spark):
+        plan = lookup._jdf.queryExecution().toString()
+        assert "SelectedBucketsCount: 1 out of 8" in plan
+        assert [(r.vec_id, r.payload) for r in lookup.collect()] == [(42, 126)]
+    # outside the context the planner's auto rule is back in charge
+    assert (
+        spark.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+        == "true"
+    )
+    spark.sql("DROP TABLE IF EXISTS t_bucket_prune")
 
 
 # --- exact_jaccard_for_pairs materializes unmaterialized pairs (ADVICE) ---
