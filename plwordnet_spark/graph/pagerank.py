@@ -59,8 +59,13 @@ def pagerank(
 
     ``nodes``: optional (id, …) universe; defaults to ids appearing in
     edges. ``salted_gather``: two-phase aggregation splitting each dst
-    key into ``salt`` sub-keys before the final combine — explicit skew
-    handling for hub vertices beyond AQE. ``use_csr``: stage the
+    key into ``salt`` sub-keys before the final combine. Default OFF by
+    measurement (BENCH/SKEW.md): the gather's map-side partial
+    aggregation already folds a hub dst to ≤ one row per map partition,
+    so for this algebraic sum the explicit salt only adds a shuffle
+    phase (~1.6× slower at a 10%-single-hub graph). Reserve it for
+    non-algebraic gathers (collect_list-style state that partial
+    aggregation cannot shrink). ``use_csr``: stage the
     adjacency once as per-partition CSR blocks (graph/csr.py) so each
     iteration ships only the rank vector to Python workers; results are
     identical to the join path (property-tested). ``personalization``:
