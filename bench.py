@@ -417,6 +417,80 @@ def main() -> None:
         }
         skewed.unpersist()
 
+    # --- skew, src side: hot-key split join vs plain -----------------
+    # the OTHER hub problem: one src owning ~10% of all edges makes the
+    # co-partitioned rank join a straggler (all hub out-edges in one hash
+    # partition). Row pair: plain join vs hot_src_threshold split
+    # (round-robin hot slice + broadcast hot ranks — BENCH/SKEW.md).
+    srcskew_target = int(os.environ.get("SPARK_GRAFT_BENCH_SRCSKEW_EDGES", "8000000"))
+    if srcskew_target > 0:
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+        from run_scaling import _make_edges
+
+        n_ss_nodes = max(srcskew_target // 10, 1)
+        # same shape as run_scaling._make_edges but with ~10% of the
+        # RANDOM edges re-sourced to hub src 0; the ring stays intact so
+        # every node keeps out-degree >= 1 (dangling-free, so the bench's
+        # check_interval=5 fast path stays legal)
+        u = F.pmod(F.xxhash64("id", F.lit(2)), F.lit(1_000_000)) / 1_000_000.0
+        hub_roll = F.pmod(F.xxhash64("id", F.lit(11)), F.lit(100)) < F.lit(10)
+        rnd_part = spark.range(srcskew_target).select(
+            F.when(hub_roll, F.lit(0).cast("long"))
+            .otherwise(F.pmod(F.xxhash64("id", F.lit(1)), F.lit(n_ss_nodes)))
+            .alias("src"),
+            F.floor(F.lit(n_ss_nodes) * u * u).cast("long").alias("dst"),
+            F.lit(1.0).alias("weight"),
+        )
+        ring_part = spark.range(n_ss_nodes).select(
+            F.col("id").alias("src"),
+            F.pmod(F.col("id") + 1, F.lit(n_ss_nodes)).alias("dst"),
+            F.lit(1.0).alias("weight"),
+        )
+        srcskew = (
+            rnd_part.unionByName(ring_part)
+            .filter("src != dst")
+            .repartition(CPUS, "src")
+            .cache()
+        )
+        n_ss = srcskew.count()
+        ss_iters = 5
+        interleaved(
+            [
+                (
+                    "pagerank_srcskew_plain",
+                    lambda: pagerank(
+                        spark, srcskew, tol=0.0, max_iterations=ss_iters,
+                        auto_tune=False, check_interval=5,
+                    ),
+                ),
+                (
+                    "pagerank_srcskew_split",
+                    lambda: pagerank(
+                        spark, srcskew, tol=0.0, max_iterations=ss_iters,
+                        auto_tune=False, check_interval=5,
+                        hot_src_threshold=n_ss // 100,
+                    ),
+                ),
+            ],
+            REPS,
+        )
+        top_src = (
+            srcskew.groupBy("src").count().orderBy(F.desc("count")).limit(1).first()
+        )
+        detail["pagerank_srcskew"] = {
+            "n_edges": n_ss,
+            "iterations": ss_iters,
+            "top_src_edges": int(top_src["count"]),
+            "top_src_share": round(top_src["count"] / n_ss, 4),
+            "plain_edge_iters_per_sec": round(
+                n_ss * ss_iters / timings["pagerank_srcskew_plain"], 1
+            ),
+            "split_edge_iters_per_sec": round(
+                n_ss * ss_iters / timings["pagerank_srcskew_split"], 1
+            ),
+        }
+        srcskew.unpersist()
+
     # large synthetic PageRank: fixed-size power-law graph where per-
     # iteration work dominates fixed costs — the scale row the corpus
     # graph (142k edges) can't provide. SPARK_GRAFT_BENCH_BIG_EDGES=0

@@ -32,6 +32,11 @@ from plwordnet_spark.graph.pregel import PregelRunner, PregelResult, loop_tuning
 
 __all__ = ["pagerank"]
 
+# driver-side cap on collected hot-src ids (hot keys are hubs; above
+# this the graph isn't skewed, it's dense — remaining above-threshold
+# srcs stay on the co-partitioned cold path)
+_MAX_HOT_SRCS = 10_000
+
 
 def pagerank(
     spark: SparkSession,
@@ -54,6 +59,7 @@ def pagerank(
     auto_tune: bool = True,
     retain_snapshots: int | None = None,
     personalization: DataFrame | None = None,
+    hot_src_threshold: int | None = None,
 ) -> PregelResult:
     """edges(src, dst[, weight[, salt]]) → ranks(id, rank) summing to 1.
 
@@ -65,7 +71,17 @@ def pagerank(
     so for this algebraic sum the explicit salt only adds a shuffle
     phase (~1.6× slower at a 10%-single-hub graph). Reserve it for
     non-algebraic gathers (collect_list-style state that partial
-    aggregation cannot shrink). ``use_csr``: stage the
+    aggregation cannot shrink). ``hot_src_threshold``: out-degree above
+    which a src is treated as a hot key — the OTHER hub skew, which
+    gather salting and partial aggregation do NOT address: a hub src's
+    out-edges all hash to one partition of the src-partitioned scatter
+    table, making a straggler task in the per-iteration rank join. The
+    split-join treatment (BENCH/SKEW.md): hot-src edges are separated
+    ONCE into a round-robin-partitioned slice whose join uses a
+    broadcast of just the hot ranks rows (at most ~n_hot rows/iter over
+    the wire), so the hub's edges spread across every core; cold edges
+    keep the co-partitioned join. None = off. Results are identical
+    either way (property-tested). ``use_csr``: stage the
     adjacency once as per-partition CSR blocks (graph/csr.py) so each
     iteration ships only the rank vector to Python workers; results are
     identical to the join path (property-tested). ``personalization``:
@@ -94,7 +110,7 @@ def pagerank(
             spark, edge_w, ids, alpha, tol, max_iterations, checkpoint_dir,
             checkpoint_interval, salted_gather, n_salts, initial_ranks,
             start_iteration, check_interval, use_csr, csr_workdir, csr_buckets,
-            retain_snapshots, personalization,
+            retain_snapshots, personalization, hot_src_threshold,
         )
 
 
@@ -102,7 +118,7 @@ def _pagerank_loop(
     spark, edge_w, ids, alpha, tol, max_iterations, checkpoint_dir,
     checkpoint_interval, salted_gather, n_salts, initial_ranks,
     start_iteration, check_interval, use_csr, csr_workdir, csr_buckets,
-    retain_snapshots=None, personalization=None,
+    retain_snapshots=None, personalization=None, hot_src_threshold=None,
 ) -> PregelResult:
     ids = ids.repartition("id").cache()
     n_nodes = ids.count()
@@ -116,12 +132,44 @@ def _pagerank_loop(
     out_w = edge_w.groupBy(F.col("src").alias("id")).agg(F.sum("w").alias("out_w"))
     # scatter share precomputed once; partitioned by src for the per-
     # iteration rank join (no re-exchange of the big table per step)
-    scatter = (
-        edge_w.join(out_w.withColumnRenamed("id", "src"), "src")
-        .select("src", "dst", (F.col("w") / F.col("out_w")).alias("share"))
-        .repartition("src")
-        .cache()
+    scatter_base = edge_w.join(out_w.withColumnRenamed("id", "src"), "src").select(
+        "src", "dst", (F.col("w") / F.col("out_w")).alias("share")
     )
+
+    # hot-src split (join path only — the CSR layout spreads a hub's
+    # out-edges across buckets by construction): hot srcs' edges go to a
+    # round-robin-partitioned slice joined against a BROADCAST of just
+    # the hot rank rows, so the hub's edges occupy every core instead of
+    # one fat hash partition. Hot ids are collected once to the driver —
+    # bounded at _MAX_HOT_SRCS (hot keys are hubs; a graph with millions
+    # of above-threshold srcs isn't skewed, it's dense) — keeping the
+    # per-iteration broadcast at most that many rows.
+    hot_ids: list[int] = []
+    scatter_hot = None
+    if hot_src_threshold is not None and not use_csr:
+        hot_rows = (
+            edge_w.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") > hot_src_threshold)
+            .orderBy(F.desc("deg"))
+            .limit(_MAX_HOT_SRCS)
+            .collect()
+        )
+        hot_ids = [int(r["src"]) for r in hot_rows]
+    if hot_ids:
+        scatter_hot = (
+            scatter_base.filter(F.col("src").isin(hot_ids))
+            .repartition(spark.sparkContext.defaultParallelism)
+            .cache()
+        )
+        scatter_hot.count()
+        scatter = (
+            scatter_base.filter(~F.col("src").isin(hot_ids))
+            .repartition("src")
+            .cache()
+        )
+    else:
+        scatter = scatter_base.repartition("src").cache()
     scatter.count()  # materialize before the loop
 
     adj = None
@@ -221,6 +269,13 @@ def _pagerank_loop(
             )
             return _assemble(gathered, dm)
         contribs = scatter.join(ranks.withColumnRenamed("id", "src"), "src")
+        if scatter_hot is not None:
+            hot_ranks = ranks.filter(F.col("id").isin(hot_ids)).withColumnRenamed(
+                "id", "src"
+            )
+            contribs = contribs.unionByName(
+                scatter_hot.join(F.broadcast(hot_ranks), "src")
+            )
         if salted_gather:
             # phase 1: partial sums per (dst, salt) — splits hub keys
             # across n_salts reducers; phase 2: tiny combine per dst
@@ -265,8 +320,12 @@ def _pagerank_loop(
         checkpoint_interval=checkpoint_interval,
         check_interval=check_interval,
         # the step consumes ranks linearly (single reference in the gather
-        # join), so the soft-persist chain is safe and saves one job/iter
-        truncate_interval=4,
+        # join), so the soft-persist chain is safe and saves one job/iter.
+        # The hot-src split references ranks TWICE (cold join + hot
+        # broadcast filter) — soft chains would inline the lazy parent
+        # subtree per reference and grow the plan exponentially, so that
+        # path hard-truncates every iteration.
+        truncate_interval=1 if scatter_hot is not None else 4,
         retain_snapshots=retain_snapshots,
     )
     try:
@@ -279,6 +338,8 @@ def _pagerank_loop(
 
             shutil.rmtree(tmp_workdir, ignore_errors=True)
     scatter.unpersist()
+    if scatter_hot is not None:
+        scatter_hot.unpersist()
     dangling.unpersist()
     if pvec is not None:
         pvec.unpersist()
