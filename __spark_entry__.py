@@ -403,7 +403,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_token_counts_bpe": lambda s, d: _q_token_counts_bpe(s, d),
         "q_approx_topk": lambda s, d: _q_approx_topk(s, d),
         "q_landmark_distances": lambda s, d: _q_landmark_distances(s, d),
+        # --- round-4 additions: skew-split + resume parity witnesses ---
+        "q_pagerank_hot_src": lambda s, d: _q_pagerank_hot_src(s, d),
+        "q_sssp_delta_resume": lambda s, d: _q_sssp_delta_resume(s, d),
     }
+
+
+def _q_pagerank_hot_src(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank through the hot-src split join (round-robin hot slice +
+    broadcast hot ranks — graph/pagerank.py hot_src_threshold,
+    BENCH/SKEW.md). The threshold marks most of the dense mod-211
+    graph's srcs hot, exercising the split path hard; ranks must equal
+    the plain co-partitioned join's, so the oracle is the SAME unrolled
+    power-iteration SQL as q_pagerank_top."""
+    from plwordnet_spark.graph.pagerank import pagerank
+
+    edges = _derived_edges(spark, sf_dir)
+    res = pagerank(
+        spark, edges, tol=0.0, max_iterations=_PR_ITERS, weighted=False,
+        hot_src_threshold=10,
+    )
+    return res.state.select("id", F.round("rank", 8).alias("rank"))
+
+
+def _q_sssp_delta_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-stepping SSSP killed after 2 rounds and RESUMED from its
+    durable SnapshotStore checkpoint (bfs.py round-4 contract). The
+    resumed run must land on the same fixpoint as an uninterrupted one,
+    so the oracle is the same unrolled-relaxation SQL as q_sssp. The
+    final state is pinned in memory before the checkpoint dir is
+    removed (the driver collects after this callable returns)."""
+    import shutil
+    import tempfile
+
+    from plwordnet_spark.graph.bfs import delta_stepping_sssp
+
+    edges = _derived_weighted_edges(spark, sf_dir)
+    ckpt = tempfile.mkdtemp(prefix="plwn_q_resume_")
+    try:
+        delta_stepping_sssp(
+            spark, edges, sources=[0], directed=True, delta=2.0,
+            max_rounds=2, checkpoint_dir=ckpt, checkpoint_interval=1,
+        )
+        res = delta_stepping_sssp(
+            spark, edges, sources=[0], directed=True, delta=2.0,
+            checkpoint_dir=ckpt, checkpoint_interval=1, resume=True,
+        )
+        out = res.state.select(
+            "id", F.col("dist").cast("long").alias("dist")
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return out
 
 
 def _q_landmark_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1649,6 +1700,8 @@ def oracle_sql() -> dict[str, str]:
         # same graph/source; the bucketed engine converges fully and the
         # 15-round unrolled relaxation reaches the same fixpoint
         "q_sssp_delta_stepping": _sssp_oracle_sql(),
+        "q_sssp_delta_resume": _sssp_oracle_sql(),
+        "q_pagerank_hot_src": _pagerank_oracle_sql(),
         "q_bfs_distances": _bfs_oracle_sql(),
         "q_landmark_distances": f"""
             WITH RECURSIVE edges AS ({_EDGE_SQL_DERIVATION}),
