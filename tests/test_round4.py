@@ -173,6 +173,81 @@ def test_edgelog_legacy_entries_dont_trigger_early_compaction(spark, tmp_path):
     assert merged.count() == 3
 
 
+# --- production topology end-to-end: ingest → EdgeLog → warm PageRank -----
+
+
+def test_incremental_ingest_to_warm_pagerank(spark, tmp_path):
+    """The north-star topology in one test: a page stream lands in the
+    EdgeLog (O(batch) deltas), PageRank runs on the folded table, MORE
+    pages arrive, and the next PageRank warm-starts from the previous
+    ranks — converging to the SAME fixpoint as a cold run on the grown
+    graph. Iteration count is asserted only loosely here: crawl 2 is a
+    disjoint url space, so the warm seed's per-component mass error is
+    comparable to a uniform start's structural error and warm ≈ cold
+    (measured sweep: 86-95 vs 82-91 iterations across crawl-2 sizes);
+    the warm-start SPEED benefit on same-node-set growth is proven by
+    test_pagerank_warm_start_after_edge_merge."""
+    from plwordnet_spark.corpus import generate_pages
+    from plwordnet_spark.graph.pagerank import pagerank
+    from plwordnet_spark.streaming.ingest import (
+        EdgeLog,
+        read_page_stream,
+        stream_pages_to_edges,
+    )
+
+    edges_dir = str(tmp_path / "edges")
+    crawl1 = str(tmp_path / "crawl1")
+    generate_pages(spark, 80, seed=1).write.parquet(crawl1)
+    q = stream_pages_to_edges(
+        spark, read_page_stream(spark, crawl1, max_files_per_trigger=1),
+        edges_dir, str(tmp_path / "ck1"), compact_every=3,
+    )
+    q.awaitTermination(120)
+    log = EdgeLog(spark, edges_dir, compact_every=3)
+    gen1_edges, _ = log.latest()
+    r1 = pagerank(spark, gen1_edges, tol=1e-10, max_iterations=100)
+
+    # second crawl drop: disjoint seed → new pages AND new links
+    crawl2 = str(tmp_path / "crawl2")
+    generate_pages(spark, 80, seed=2).write.parquet(crawl2)
+    q = stream_pages_to_edges(
+        spark, read_page_stream(spark, crawl2, max_files_per_trigger=1),
+        edges_dir, str(tmp_path / "ck2"), compact_every=3,
+    )
+    q.awaitTermination(120)
+    gen2_edges, _ = log.latest()
+    assert gen2_edges.count() > gen1_edges.count()
+
+    cold = pagerank(spark, gen2_edges, tol=1e-10, max_iterations=100)
+    # caller-side warm-start shape: previous ranks where known, uniform
+    # share for crawl-2's new nodes, then NORMALIZED to total mass 1 —
+    # an unnormalized seed carries excess probability mass that only
+    # decays at rate alpha per iteration and can make the warm run
+    # SLOWER than cold (observed: 98 vs 89 iterations unnormalized)
+    n2 = (
+        gen2_edges.selectExpr("src AS id").union(gen2_edges.selectExpr("dst AS id"))
+        .distinct().count()
+    )
+    raw = (
+        gen2_edges.selectExpr("src AS id").union(gen2_edges.selectExpr("dst AS id"))
+        .distinct()
+        .join(r1.state.withColumnRenamed("rank", "r0"), "id", "left")
+        .selectExpr("id", f"coalesce(r0, 1.0/{n2}) AS rank")
+    )
+    mass = raw.groupBy().sum("rank").first()[0]
+    seeds = raw.selectExpr("id", f"rank / {mass!r} AS rank")
+    warm = pagerank(
+        spark, gen2_edges, tol=1e-10, max_iterations=100, initial_ranks=seeds
+    )
+    assert warm.converged and cold.converged
+    assert warm.iterations <= cold.iterations + 10
+    got = {r.id: r.rank for r in warm.state.collect()}
+    want = {r.id: r.rank for r in cold.state.collect()}
+    assert got.keys() == want.keys()
+    for k, v in want.items():
+        assert got[k] == pytest.approx(v, abs=1e-8)
+
+
 # --- hot-src split join: identical ranks, out-degree skew handled ---------
 
 
