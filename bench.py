@@ -104,6 +104,7 @@ def main() -> None:
     from plwordnet_spark.graph.bfs import bfs_distances
     from plwordnet_spark.graph.hits import hits
     from plwordnet_spark.graph.kcore import k_core
+    from plwordnet_spark.graph.triangles import triangle_count
     from plwordnet_spark.textops.dedup import minhash_lsh_dedup
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
@@ -149,10 +150,12 @@ def main() -> None:
                 ).state.count(),
             ),
             ("kcore", lambda: k_core(spark, tables.edges, k=3).state.count()),
+            ("triangles", lambda: triangle_count(tables.edges)),
             ("minhash_dedup", _dedup),
         ],
         REPS,
     )
+    detail["triangles"] = first["triangles"]
     pr = first["pagerank_convergence"]
     detail["pagerank"] = {
         "n_pages": N_PAGES,
@@ -253,8 +256,13 @@ def main() -> None:
     #     check 8), the fewer-files-per-lookup path that closes the
     #     sequential gap architecturally at scale. Write cost excluded
     #     (one-time layout decision, like building an index).
-    from plwordnet_spark.storage.bucketed import bucket_pruned_scans, write_bucketed
+    from plwordnet_spark.storage.bucketed import (
+        bucket_pruned_scans,
+        drop_table,
+        write_bucketed,
+    )
 
+    drop_table(spark, "bench_emb_by_id")  # clears a crashed run's leftovers
     write_bucketed(emb, "bench_emb_by_id", ["vec_id"], n_buckets=16,
                    sort_cols=["vec_id"])
     emb_bucketed = spark.table("bench_emb_by_id")
@@ -277,7 +285,7 @@ def main() -> None:
         ),
         "reference_lookups_per_sec": 370.45,
     }
-    spark.sql("DROP TABLE IF EXISTS bench_emb_by_id")
+    drop_table(spark, "bench_emb_by_id")
     emb_cached.unpersist()
 
     # --- streaming ingest vs batch build -----------------------------
@@ -428,27 +436,11 @@ def main() -> None:
         from run_scaling import _make_edges
 
         n_ss_nodes = max(srcskew_target // 10, 1)
-        # same shape as run_scaling._make_edges but with ~10% of the
-        # RANDOM edges re-sourced to hub src 0; the ring stays intact so
-        # every node keeps out-degree >= 1 (dangling-free, so the bench's
-        # check_interval=5 fast path stays legal)
-        u = F.pmod(F.xxhash64("id", F.lit(2)), F.lit(1_000_000)) / 1_000_000.0
-        hub_roll = F.pmod(F.xxhash64("id", F.lit(11)), F.lit(100)) < F.lit(10)
-        rnd_part = spark.range(srcskew_target).select(
-            F.when(hub_roll, F.lit(0).cast("long"))
-            .otherwise(F.pmod(F.xxhash64("id", F.lit(1)), F.lit(n_ss_nodes)))
-            .alias("src"),
-            F.floor(F.lit(n_ss_nodes) * u * u).cast("long").alias("dst"),
-            F.lit(1.0).alias("weight"),
-        )
-        ring_part = spark.range(n_ss_nodes).select(
-            F.col("id").alias("src"),
-            F.pmod(F.col("id") + 1, F.lit(n_ss_nodes)).alias("dst"),
-            F.lit(1.0).alias("weight"),
-        )
+        # _make_edges with ~10% of the RANDOM edges re-sourced to hub
+        # src 0; the ring stays intact so every node keeps out-degree
+        # >= 1 (dangling-free, so check_interval=5 stays legal)
         srcskew = (
-            rnd_part.unionByName(ring_part)
-            .filter("src != dst")
+            _make_edges(spark, srcskew_target, n_ss_nodes, hub_src_pct=10)
             .repartition(CPUS, "src")
             .cache()
         )

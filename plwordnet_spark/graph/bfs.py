@@ -341,6 +341,7 @@ def delta_stepping_sssp(
     metrics: list[dict] = []
     rounds = 0
     converged = False
+    pending_heavy_bucket: int | None = None
     resumed = None
     if resume:
         if store is None:
@@ -352,6 +353,21 @@ def delta_stepping_sssp(
         # min-pending scan re-derives the active bucket from it
         state = snap_state.select("id", "dist", "changed")
         rounds = int(entry["iteration"])
+        # drain-round kill: the snapshot caught the bucket's light
+        # fixpoint just emptied (frontier 0) but BEFORE its heavy relax.
+        # The drained nodes are settled (changed=False), so the outer
+        # loop would never re-offer them — the pending heavy relax must
+        # run first or its targets silently keep worse/NULL distances
+        # (running it is idempotent: re-applied offers fold the same min
+        # and set no changed flags).
+        m = entry.get("metrics", {})
+        if (
+            n_heavy > 0
+            and m.get("phase") == "light"
+            and m.get("frontier_rows") == 0
+            and m.get("bucket") is not None
+        ):
+            pending_heavy_bucket = int(m["bucket"])
     else:
         state = (
             ids.join(src_ids.withColumn("dist", F.lit(0.0)), "id", "left")
@@ -394,7 +410,47 @@ def delta_stepping_sssp(
             (improved | pending_kept).alias("changed"),
         )
 
+    def _heavy_round(bucket: int) -> None:
+        """One heavy relax from the drained bucket's settled nodes;
+        mutates state/rounds/metrics. Settled rows have changed=False,
+        so the whole settled window is treated as the frontier."""
+        nonlocal state, rounds
+        rounds += 1
+        bound = F.lit((bucket + 1) * delta)
+        settled = (F.col("dist") >= F.lit(bucket * delta)) & (F.col("dist") < bound)
+        frontier = state.filter(settled).select(F.col("id").alias("u"), "dist")
+        relaxed = (
+            heavy.join(frontier, "u")
+            .groupBy(F.col("v").alias("id"))
+            .agg(F.min(F.col("dist") + F.col("w")).alias("nbr_dist"))
+        )
+        improved = F.col("nbr_dist").isNotNull() & (
+            F.col("dist").isNull() | (F.col("nbr_dist") < F.col("dist"))
+        )
+        new_state = state.join(relaxed, "id", "left").select(
+            "id",
+            F.least(F.col("dist"), F.col("nbr_dist")).alias("dist"),
+            (improved | F.col("changed")).alias("changed"),
+            improved.alias("_improved"),
+        ).localCheckpoint(eager=True)
+        # frontier_rows = actual heavy relaxations (rows improved by
+        # THIS phase), not the count of all still-pending rows
+        relaxed_rows = new_state.filter("_improved").count()
+        entry = {"iteration": rounds, "bucket": bucket, "phase": "heavy",
+                 "frontier_rows": relaxed_rows, "delta": float(relaxed_rows)}
+        metrics.append(entry)
+        _snapshot(new_state, entry)
+        state.unpersist()
+        # keep the CHECKPOINTED frame as state (so the next round's
+        # unpersist releases it); the stray _improved column is
+        # dropped by the next _relax select / the final projection
+        state = new_state
+
     with loop_tuning(spark, n_light):
+        if pending_heavy_bucket is not None and rounds < max_rounds:
+            # resume landed on a drain-round snapshot: finish the killed
+            # bucket's heavy phase before re-entering the outer loop
+            _heavy_round(pending_heavy_bucket)
         while rounds < max_rounds:
             # next bucket = floor(min pending dist / Δ); the minimum
             # pending distance is final (no smaller pending node exists
@@ -404,8 +460,7 @@ def delta_stepping_sssp(
                 converged = True
                 break
             bucket = int(min_pending // delta)
-            bound = F.lit((bucket + 1) * delta)
-            in_bucket = F.col("dist") < bound
+            in_bucket = F.col("dist") < F.lit((bucket + 1) * delta)
             # inner: light-edge fixpoint within the bucket
             while rounds < max_rounds:
                 rounds += 1
@@ -430,37 +485,7 @@ def delta_stepping_sssp(
             # plain frontier Bellman-Ford)
             if n_heavy == 0:
                 continue
-            rounds += 1
-            settled = (F.col("dist") >= F.lit(bucket * delta)) & in_bucket
-            # settled rows have changed=False; emit them regardless by
-            # treating the whole settled set as the frontier
-            frontier = state.filter(settled).select(F.col("id").alias("u"), "dist")
-            relaxed = (
-                heavy.join(frontier, "u")
-                .groupBy(F.col("v").alias("id"))
-                .agg(F.min(F.col("dist") + F.col("w")).alias("nbr_dist"))
-            )
-            improved = F.col("nbr_dist").isNotNull() & (
-                F.col("dist").isNull() | (F.col("nbr_dist") < F.col("dist"))
-            )
-            new_state = state.join(relaxed, "id", "left").select(
-                "id",
-                F.least(F.col("dist"), F.col("nbr_dist")).alias("dist"),
-                (improved | F.col("changed")).alias("changed"),
-                improved.alias("_improved"),
-            ).localCheckpoint(eager=True)
-            # frontier_rows = actual heavy relaxations (rows improved by
-            # THIS phase), not the count of all still-pending rows
-            relaxed_rows = new_state.filter("_improved").count()
-            entry = {"iteration": rounds, "bucket": bucket, "phase": "heavy",
-                     "frontier_rows": relaxed_rows, "delta": float(relaxed_rows)}
-            metrics.append(entry)
-            _snapshot(new_state, entry)
-            state.unpersist()
-            # keep the CHECKPOINTED frame as state (so the next round's
-            # unpersist releases it); the stray _improved column is
-            # dropped by the next _relax select / the final projection
-            state = new_state
+            _heavy_round(bucket)
         if store is not None:
             # final durable snapshot so resume() always sees the end
             # state, whether the loop converged or hit the round budget

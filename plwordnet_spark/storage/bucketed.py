@@ -27,7 +27,27 @@ __all__ = [
     "read_table",
     "bucketed_edges_tables",
     "bucket_pruned_scans",
+    "drop_table",
 ]
+
+
+def drop_table(spark: SparkSession, table: str) -> None:
+    """DROP TABLE IF EXISTS *plus* clearing a stale managed location.
+
+    A run killed between ``saveAsTable`` and its DROP leaves the
+    warehouse directory behind with no catalog entry; the next
+    ``saveAsTable`` then refuses with LOCATION_ALREADY_EXISTS. Call this
+    before every ``write_bucketed`` of a managed table name that a
+    previous (possibly crashed) run may have used."""
+    import os
+    import shutil
+
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
+    if warehouse.startswith("file:"):
+        warehouse = warehouse[len("file:"):]
+    if warehouse:
+        shutil.rmtree(os.path.join(warehouse, table.lower()), ignore_errors=True)
 
 
 @contextmanager

@@ -311,6 +311,13 @@ def exact_jaccard_for_pairs(
     Broadcast applies only when the bound is under ``max_broadcast_ids``
     (default 4M ids ≈ 32 MB serialized); above it, the plain semi-join
     shuffles instead of OOMing the driver on collect-for-broadcast.
+
+    Caching contract: an unmaterialized ``pairs`` plan is persist()ed
+    here (the size-check count materializes it; the joins reuse it) and
+    stays cached for the lifetime of the returned plan — long-lived
+    sessions calling this repeatedly should ``pairs.unpersist()`` after
+    consuming the result, or pass an already-cached frame and manage it
+    themselves.
     """
     # the size check below counts ``pairs`` and the joins re-read it; for
     # an unmaterialized expensive plan (e.g. fresh MinHash candidate

@@ -3,7 +3,6 @@ checkpointing, EdgeLog legacy compaction cadence, jaccard pair caching."""
 
 from __future__ import annotations
 
-import os
 import random
 
 import pytest
@@ -81,6 +80,60 @@ def test_delta_stepping_kill_and_resume_mid_bucket(spark, tmp_path):
     )
     assert again.converged and again.iterations == full.iterations
     _assert_dist_equal(_dist_map(again), want)
+
+
+def test_delta_stepping_resume_after_drain_round_kill(spark, tmp_path):
+    """Kill landing exactly on a bucket-DRAIN round (light fixpoint just
+    emptied, heavy relax not yet run) must not lose the bucket's heavy
+    relaxation: the drained nodes are settled (changed=False), so only
+    the resume-side pending-heavy replay can deliver their heavy edges.
+    Minimal repro: single heavy edge 0->1 (w=5 > delta=2); round 1 is
+    the drain round; killing there and resuming must still yield
+    dist(1)=5 rather than NULL with premature convergence."""
+    from plwordnet_spark.graph.bfs import delta_stepping_sssp
+
+    edges = spark.createDataFrame(
+        [(0, 1, 5.0)], "src long, dst long, weight double"
+    )
+    ckpt = str(tmp_path / "drain_ckpt")
+    part = delta_stepping_sssp(
+        spark, edges, sources=[0], delta=2.0, directed=True,
+        max_rounds=1, checkpoint_dir=ckpt, checkpoint_interval=1,
+    )
+    assert part.iterations == 1 and not part.converged
+    assert part.metrics[-1]["phase"] == "light"
+    assert part.metrics[-1]["frontier_rows"] == 0
+    resumed = delta_stepping_sssp(
+        spark, edges, sources=[0], delta=2.0, directed=True,
+        checkpoint_dir=ckpt, checkpoint_interval=1, resume=True,
+    )
+    assert resumed.converged
+    got = _dist_map(resumed)
+    assert got[0] == 0.0
+    assert got[1] == 5.0  # the heavy relax the kill interrupted
+
+    # multi-bucket variant: heavy chain 0-(5)->1-(5)->2 with a light
+    # detour 0-(1)->3; kill on bucket 0's drain round, resume must still
+    # settle the whole chain
+    edges2 = spark.createDataFrame(
+        [(0, 1, 5.0), (1, 2, 5.0), (0, 3, 1.0)],
+        "src long, dst long, weight double",
+    )
+    ckpt2 = str(tmp_path / "drain_ckpt2")
+    full = delta_stepping_sssp(spark, edges2, sources=[0], delta=2.0, directed=True)
+    kill_at = next(
+        i for i, m in enumerate(full.metrics, 1)
+        if m["phase"] == "light" and m["frontier_rows"] == 0
+    )
+    delta_stepping_sssp(
+        spark, edges2, sources=[0], delta=2.0, directed=True,
+        max_rounds=kill_at, checkpoint_dir=ckpt2, checkpoint_interval=1,
+    )
+    resumed2 = delta_stepping_sssp(
+        spark, edges2, sources=[0], delta=2.0, directed=True,
+        checkpoint_dir=ckpt2, checkpoint_interval=1, resume=True,
+    )
+    _assert_dist_equal(_dist_map(resumed2), _dist_map(full))
 
 
 def test_delta_stepping_checkpointed_run_matches_plain(spark, tmp_path):
@@ -291,18 +344,18 @@ def test_bucket_pruned_point_lookup(spark):
     """A key-equality lookup on a table bucketed by that key must scan
     one bucket (SelectedBucketsCount: 1 out of N) and return the same
     rows as the unbucketed scan."""
-    from plwordnet_spark.storage.bucketed import bucket_pruned_scans, write_bucketed
+    from plwordnet_spark.storage.bucketed import (
+        bucket_pruned_scans,
+        drop_table,
+        write_bucketed,
+    )
 
     df = spark.range(200).select(
         F.col("id").alias("vec_id"), (F.col("id") * 3).alias("payload")
     )
-    spark.sql("DROP TABLE IF EXISTS t_bucket_prune")
-    # a crashed earlier run can leave the managed location behind after
-    # the catalog entry is gone; clear it or saveAsTable refuses
-    import shutil
-
-    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-    shutil.rmtree(os.path.join(warehouse, "t_bucket_prune"), ignore_errors=True)
+    # drop_table also clears a crashed earlier run's managed location
+    # (saveAsTable refuses with LOCATION_ALREADY_EXISTS otherwise)
+    drop_table(spark, "t_bucket_prune")
     write_bucketed(df, "t_bucket_prune", ["vec_id"], n_buckets=8,
                    sort_cols=["vec_id"])
     lookup = spark.table("t_bucket_prune").filter(F.col("vec_id") == 42)
@@ -315,7 +368,7 @@ def test_bucket_pruned_point_lookup(spark):
         spark.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
         == "true"
     )
-    spark.sql("DROP TABLE IF EXISTS t_bucket_prune")
+    drop_table(spark, "t_bucket_prune")
 
 
 # --- exact_jaccard_for_pairs materializes unmaterialized pairs (ADVICE) ---

@@ -170,9 +170,14 @@ def main() -> int:
     #    fix for the sequential point-lookup gap (fewer files per job;
     #    at 100 TB the difference between touching 1/N of the table and
     #    all of it)
-    from plwordnet_spark.storage.bucketed import bucket_pruned_scans, write_bucketed
+    from plwordnet_spark.storage.bucketed import (
+        bucket_pruned_scans,
+        drop_table,
+        write_bucketed,
+    )
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    drop_table(spark, "audit_emb_by_id")  # clears a crashed run's leftovers
     write_bucketed(emb, "audit_emb_by_id", ["vec_id"], n_buckets=16,
                    sort_cols=["vec_id"])
     lookup = spark.table("audit_emb_by_id").filter(F.col("vec_id") == 5)
@@ -182,7 +187,7 @@ def main() -> int:
         "bucketed point lookup prunes to 1 of 16 buckets",
         "SelectedBucketsCount: 1 out of 16" in bplan,
     )
-    spark.sql("DROP TABLE IF EXISTS audit_emb_by_id")
+    drop_table(spark, "audit_emb_by_id")
 
     print()
     print("=== sample plans ===")

@@ -41,16 +41,24 @@ ITERS = 10
 EXTRACT_PAGES = 150_000
 
 
-def _make_edges(spark, n_edges: int, n_nodes: int):
+def _make_edges(spark, n_edges: int, n_nodes: int, hub_src_pct: int = 0):
     """Deterministic power-law edge table; the ring guarantees out-degree
-    ≥ 1 (dangling-free → check_interval>1 is legal)."""
+    ≥ 1 (dangling-free → check_interval>1 is legal). ``hub_src_pct``:
+    re-source that percentage of the RANDOM edges to hub src 0 (the ring
+    is untouched, so the dangling-free guarantee holds) — the out-degree
+    skew generator shared by the bench's pagerank_srcskew rows and the
+    40%-hub crossover run."""
     from pyspark.sql import functions as F
 
     u = F.pmod(F.xxhash64("id", F.lit(2)), F.lit(1_000_000)) / 1_000_000.0
+    src = F.pmod(F.xxhash64("id", F.lit(1)), F.lit(n_nodes))
+    if hub_src_pct > 0:
+        hub_roll = F.pmod(F.xxhash64("id", F.lit(11)), F.lit(100)) < F.lit(hub_src_pct)
+        src = F.when(hub_roll, F.lit(0).cast("long")).otherwise(src)
     rnd = (
         spark.range(n_edges)
         .select(
-            F.pmod(F.xxhash64("id", F.lit(1)), F.lit(n_nodes)).alias("src"),
+            src.alias("src"),
             F.floor(F.lit(n_nodes) * u * u).cast("long").alias("dst"),
             F.lit(1.0).alias("weight"),
         )
