@@ -406,7 +406,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-4 additions: skew-split + resume parity witnesses ---
         "q_pagerank_hot_src": lambda s, d: _q_pagerank_hot_src(s, d),
         "q_sssp_delta_resume": lambda s, d: _q_sssp_delta_resume(s, d),
+        "q_adamic_adar": lambda s, d: _q_adamic_adar(s, d),
     }
+
+
+def _q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link-prediction scores over the mod-211 graph
+    (graph/linkpred.py): two-path join on the shared neighbor +
+    1/ln(deg) sum, replayed verbatim by the DuckDB oracle. top_k is
+    NOT applied here — near-tied float scores at the rank boundary
+    would make the cut engine-dependent; the full scored pair set is
+    order-independent."""
+    from plwordnet_spark.graph.linkpred import adamic_adar
+
+    edges = _derived_edges(spark, sf_dir)
+    return adamic_adar(edges).select(
+        "a", "b", F.round("score", 6).alias("score")
+    )
 
 
 def _q_pagerank_hot_src(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1702,6 +1718,28 @@ def oracle_sql() -> dict[str, str]:
         "q_sssp_delta_stepping": _sssp_oracle_sql(),
         "q_sssp_delta_resume": _sssp_oracle_sql(),
         "q_pagerank_hot_src": _pagerank_oracle_sql(),
+        "q_adamic_adar": f"""
+            WITH edges AS ({_EDGE_SQL_DERIVATION}),
+            und AS (
+                SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+                FROM edges
+            ),
+            nbrs AS (
+                SELECT a AS z, b AS nbr FROM und
+                UNION ALL
+                SELECT b AS z, a AS nbr FROM und
+            ),
+            degz AS (SELECT z, COUNT(*) AS deg_z FROM nbrs GROUP BY z),
+            nz AS (
+                SELECT n.z, n.nbr, d.deg_z
+                FROM nbrs n JOIN degz d USING (z)
+                WHERE d.deg_z <= 10000
+            )
+            SELECT l.nbr AS a, r.nbr AS b,
+                   ROUND(SUM(1.0 / LN(l.deg_z)), 6) AS score
+            FROM nz l JOIN nz r ON l.z = r.z AND l.nbr < r.nbr
+            GROUP BY l.nbr, r.nbr
+        """,
         "q_bfs_distances": _bfs_oracle_sql(),
         "q_landmark_distances": f"""
             WITH RECURSIVE edges AS ({_EDGE_SQL_DERIVATION}),

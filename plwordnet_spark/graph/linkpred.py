@@ -1,0 +1,107 @@
+"""Link prediction over the undirected neighbor graph: common-neighbor
+counts and Adamic-Adar scores.
+
+The standard "related pages / missing link" signal for web graphs:
+candidate pair (a, b) scores Σ_{z ∈ N(a)∩N(b)} 1/ln(deg(z)) — shared
+neighbors weighted inversely by how promiscuous they are. Classic
+PySpark shape: one two-path self-join on the shared neighbor z
+(und(z,a) ⋈ und(z,b), a < b) followed by a groupBy(a, b) sum — both
+with map-side partial aggregation.
+
+Scale design (the two-path join is quadratic in hub degree — THE
+landmine here):
+
+* a degree-z cap (``max_degree``) excludes mega-hubs from the join: a
+  node linked by everyone generates deg² candidate pairs while
+  contributing at most 1/ln(deg) ≈ 0 per pair. Capping is the
+  documented standard practice, bounds the join at
+  O(Σ_{deg(z)≤cap} deg(z)²), and is exposed (not hidden) so callers
+  choose the recall/cost point;
+* neighbor sets come from the same canonical undirected edge view as
+  the triangle counter (``triangles.canonical_undirected``), so the
+  two operators can never diverge on edge semantics;
+* ``top_k`` keeps only the k best candidates per ``a`` via a window —
+  the output a recommender actually consumes — pruning the result
+  before it leaves the shuffle.
+
+Beyond the reference (its graphs go to networkx; SURVEY §2.10 G6
+family). Deterministic and SQL-expressible: the driver oracle replays
+the same two-path join + 1/ln(deg) sum in DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from plwordnet_spark.graph.triangles import canonical_undirected
+
+__all__ = ["adamic_adar", "common_neighbors"]
+
+
+def _neighbors_with_degree(edges: DataFrame, max_degree: int | None) -> DataFrame:
+    """(z, nbr, deg_z): both directions of the canonical undirected edge
+    set, annotated with z's degree, mega-hubs above ``max_degree``
+    excluded from the shared-neighbor role."""
+    und = canonical_undirected(edges)  # (a, b) with a < b, deduped
+    nbrs = und.select(F.col("a").alias("z"), F.col("b").alias("nbr")).unionByName(
+        und.select(F.col("b").alias("z"), F.col("a").alias("nbr"))
+    )
+    deg = nbrs.groupBy("z").agg(F.count(F.lit(1)).alias("deg_z"))
+    out = nbrs.join(deg, "z")
+    if max_degree is not None:
+        out = out.filter(F.col("deg_z") <= F.lit(max_degree))
+    return out
+
+
+def common_neighbors(
+    edges: DataFrame,
+    max_degree: int | None = 10_000,
+    min_common: int = 1,
+) -> DataFrame:
+    """(a, b, common) for unordered pairs sharing ≥ ``min_common``
+    neighbors of degree ≤ ``max_degree``. Includes already-linked pairs
+    (filter with an anti-join against the edge set for pure link
+    prediction — kept separate so the score is reusable for dedup/
+    similarity too)."""
+    nz = _neighbors_with_degree(edges, max_degree)
+    left = nz.select("z", F.col("nbr").alias("a"))
+    right = nz.select("z", F.col("nbr").alias("b"))
+    return (
+        left.join(right, "z")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("common"))
+        .filter(F.col("common") >= F.lit(min_common))
+    )
+
+
+def adamic_adar(
+    edges: DataFrame,
+    max_degree: int | None = 10_000,
+    top_k: int | None = None,
+) -> DataFrame:
+    """(a, b, score) Adamic-Adar link-prediction scores.
+
+    score(a,b) = Σ_{z ∈ N(a)∩N(b), deg(z) ≤ max_degree} 1 / ln(deg_z).
+    Shared neighbors of degree 1 cannot exist (z links both a and b ⇒
+    deg_z ≥ 2), so ln(deg_z) is never 0. ``top_k``: keep only the k
+    highest-scoring candidates per ``a`` (ties broken by b for
+    determinism)."""
+    nz = _neighbors_with_degree(edges, max_degree)
+    left = nz.select("z", F.col("nbr").alias("a"), "deg_z")
+    right = nz.select("z", F.col("nbr").alias("b"))
+    scored = (
+        left.join(right, "z")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.sum(F.lit(1.0) / F.log(F.col("deg_z"))).alias("score"))
+    )
+    if top_k is not None:
+        w = Window.partitionBy("a").orderBy(F.desc("score"), F.asc("b"))
+        scored = (
+            scored.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= top_k)
+            .drop("_rk")
+        )
+    return scored

@@ -226,6 +226,78 @@ def test_edgelog_legacy_entries_dont_trigger_early_compaction(spark, tmp_path):
     assert merged.count() == 3
 
 
+# --- link prediction: Adamic-Adar / common neighbors ----------------------
+
+
+def _py_adamic_adar(pairs, max_degree=None):
+    """Pure-Python oracle over an undirected simple graph."""
+    import math
+    from collections import defaultdict
+
+    nbrs = defaultdict(set)
+    for a, b in pairs:
+        if a != b:
+            nbrs[a].add(b)
+            nbrs[b].add(a)
+    aa = defaultdict(float)
+    cn = defaultdict(int)
+    for z, zn in nbrs.items():
+        if max_degree is not None and len(zn) > max_degree:
+            continue
+        zs = sorted(zn)
+        for i, a in enumerate(zs):
+            for b in zs[i + 1:]:
+                aa[(a, b)] += 1.0 / math.log(len(zn))
+                cn[(a, b)] += 1
+    return aa, cn
+
+
+def test_adamic_adar_matches_python(spark):
+    import random
+
+    rng = random.Random(5)
+    pairs = {(rng.randrange(40), rng.randrange(40)) for _ in range(140)}
+    pairs = [(a, b) for a, b in pairs if a != b]
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+
+    from plwordnet_spark.graph.linkpred import adamic_adar, common_neighbors
+
+    want_aa, want_cn = _py_adamic_adar(pairs)
+    got_aa = {(r.a, r.b): r.score for r in adamic_adar(edges).collect()}
+    assert got_aa.keys() == want_aa.keys()
+    for k, v in want_aa.items():
+        assert abs(got_aa[k] - v) < 1e-9, (k, got_aa[k], v)
+    got_cn = {(r.a, r.b): r.common for r in common_neighbors(edges).collect()}
+    assert got_cn == dict(want_cn)
+
+    # degree cap: mega-hub z excluded from the shared-neighbor role
+    hub_pairs = pairs + [(99, i) for i in range(30)]
+    hub_edges = spark.createDataFrame(hub_pairs, "src long, dst long")
+    want_cap, _ = _py_adamic_adar(hub_pairs, max_degree=10)
+    got_cap = {
+        (r.a, r.b): r.score
+        for r in adamic_adar(hub_edges, max_degree=10).collect()
+    }
+    assert got_cap.keys() == want_cap.keys()
+    for k, v in want_cap.items():
+        assert abs(got_cap[k] - v) < 1e-9
+
+    # top_k keeps the k best per a, deterministic tiebreak by b
+    got_top = adamic_adar(edges, top_k=2).collect()
+    per_a = {}
+    for r in got_top:
+        per_a.setdefault(r.a, []).append((r.score, r.b))
+    for a, rows in per_a.items():
+        assert len(rows) <= 2
+        best = sorted(
+            ((s, b) for (x, b), s in want_aa.items() if x == a),
+            key=lambda t: (-t[0], t[1]),
+        )[:2]
+        assert sorted(rows, key=lambda t: (-t[0], t[1])) == [
+            (pytest.approx(s), b) for s, b in best
+        ]
+
+
 # --- production topology end-to-end: ingest → EdgeLog → warm PageRank -----
 
 
