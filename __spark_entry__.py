@@ -420,7 +420,10 @@ def _q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     from plwordnet_spark.graph.linkpred import adamic_adar
 
     edges = _derived_edges(spark, sf_dir)
-    return adamic_adar(edges).select(
+    # max_degree pinned EXPLICITLY to the oracle's hard-coded 10000 —
+    # the library default is a tunable knob; retuning it must not
+    # silently diverge this contract query from its SQL
+    return adamic_adar(edges, max_degree=10_000).select(
         "a", "b", F.round("score", 6).alias("score")
     )
 
@@ -1719,8 +1722,8 @@ def oracle_sql() -> dict[str, str]:
         "q_sssp_delta_resume": _sssp_oracle_sql(),
         "q_pagerank_hot_src": _pagerank_oracle_sql(),
         "q_adamic_adar": f"""
-            WITH edges AS ({_EDGE_SQL_DERIVATION}),
-            und AS (
+            WITH edges AS MATERIALIZED ({_EDGE_SQL_DERIVATION}),
+            und AS MATERIALIZED (
                 SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
                 FROM edges
             ),
@@ -1730,7 +1733,11 @@ def oracle_sql() -> dict[str, str]:
                 SELECT b AS z, a AS nbr FROM und
             ),
             degz AS (SELECT z, COUNT(*) AS deg_z FROM nbrs GROUP BY z),
-            nz AS (
+            -- MATERIALIZED: nz feeds BOTH sides of the two-path join;
+            -- inlined, DuckDB would re-derive the distinct edge set
+            -- from the lineitem parquet once per reference (the
+            -- _pagerank_oracle_sql precedent in this file)
+            nz AS MATERIALIZED (
                 SELECT n.z, n.nbr, d.deg_z
                 FROM nbrs n JOIN degz d USING (z)
                 WHERE d.deg_z <= 10000

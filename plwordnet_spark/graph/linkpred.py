@@ -20,7 +20,7 @@ landmine here):
 * neighbor sets come from the same canonical undirected edge view as
   the triangle counter (``triangles.canonical_undirected``), so the
   two operators can never diverge on edge semantics;
-* ``top_k`` keeps only the k best candidates per ``a`` via a window —
+* ``top_k`` keeps only the k best candidates per NODE via a window —
   the output a recommender actually consumes — pruning the result
   before it leaves the shuffle.
 
@@ -63,8 +63,9 @@ def common_neighbors(
     neighbors of degree ≤ ``max_degree``. Includes already-linked pairs
     (filter with an anti-join against the edge set for pure link
     prediction — kept separate so the score is reusable for dedup/
-    similarity too)."""
-    nz = _neighbors_with_degree(edges, max_degree)
+    similarity too). ``nz`` is cached (referenced twice by the
+    self-join) and stays cached for the returned plan's lifetime."""
+    nz = _neighbors_with_degree(edges, max_degree).cache()
     left = nz.select("z", F.col("nbr").alias("a"))
     right = nz.select("z", F.col("nbr").alias("b"))
     return (
@@ -81,14 +82,26 @@ def adamic_adar(
     max_degree: int | None = 10_000,
     top_k: int | None = None,
 ) -> DataFrame:
-    """(a, b, score) Adamic-Adar link-prediction scores.
+    """Adamic-Adar link-prediction scores.
 
     score(a,b) = Σ_{z ∈ N(a)∩N(b), deg(z) ≤ max_degree} 1 / ln(deg_z).
     Shared neighbors of degree 1 cannot exist (z links both a and b ⇒
-    deg_z ≥ 2), so ln(deg_z) is never 0. ``top_k``: keep only the k
-    highest-scoring candidates per ``a`` (ties broken by b for
-    determinism)."""
-    nz = _neighbors_with_degree(edges, max_degree)
+    deg_z ≥ 2), so ln(deg_z) is never 0.
+
+    Without ``top_k``: (a, b, score) per canonical unordered pair
+    (a < b). With ``top_k``: the recommender view — (node, candidate,
+    score), the k highest-scoring candidates FOR EACH NODE (each
+    unordered pair can appear under both of its endpoints; ranking per
+    canonical min-endpoint would silently prune a node's best links
+    whenever it is the larger id). Ties broken by candidate id for
+    determinism.
+
+    The shared two-path input (``nz``) is referenced twice by the
+    self-join; it is cache()d here and materialized by the first action
+    on the result — it stays cached for the lifetime of the returned
+    plan (long-lived sessions can ``spark.catalog.clearCache()`` or
+    consume and discard)."""
+    nz = _neighbors_with_degree(edges, max_degree).cache()
     left = nz.select("z", F.col("nbr").alias("a"), "deg_z")
     right = nz.select("z", F.col("nbr").alias("b"))
     scored = (
@@ -98,9 +111,16 @@ def adamic_adar(
         .agg(F.sum(F.lit(1.0) / F.log(F.col("deg_z"))).alias("score"))
     )
     if top_k is not None:
-        w = Window.partitionBy("a").orderBy(F.desc("score"), F.asc("b"))
-        scored = (
-            scored.withColumn("_rk", F.row_number().over(w))
+        per_node = scored.select(
+            F.col("a").alias("node"), F.col("b").alias("candidate"), "score"
+        ).unionByName(
+            scored.select(
+                F.col("b").alias("node"), F.col("a").alias("candidate"), "score"
+            )
+        )
+        w = Window.partitionBy("node").orderBy(F.desc("score"), F.asc("candidate"))
+        return (
+            per_node.withColumn("_rk", F.row_number().over(w))
             .filter(F.col("_rk") <= top_k)
             .drop("_rk")
         )

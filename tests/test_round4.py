@@ -282,19 +282,28 @@ def test_adamic_adar_matches_python(spark):
     for k, v in want_cap.items():
         assert abs(got_cap[k] - v) < 1e-9
 
-    # top_k keeps the k best per a, deterministic tiebreak by b
+    # top_k is PER NODE (recommender view): every node keeps its k best
+    # candidates even when it is the larger endpoint of its best pairs
     got_top = adamic_adar(edges, top_k=2).collect()
-    per_a = {}
+    per_node = {}
     for r in got_top:
-        per_a.setdefault(r.a, []).append((r.score, r.b))
-    for a, rows in per_a.items():
-        assert len(rows) <= 2
-        best = sorted(
-            ((s, b) for (x, b), s in want_aa.items() if x == a),
-            key=lambda t: (-t[0], t[1]),
-        )[:2]
-        assert sorted(rows, key=lambda t: (-t[0], t[1])) == [
-            (pytest.approx(s), b) for s, b in best
+        per_node.setdefault(r.node, []).append((r.score, r.candidate))
+    # per-node expectation from the symmetric closure of the pair scores
+    want_per_node = {}
+    for (a, b), s in want_aa.items():
+        want_per_node.setdefault(a, []).append((s, b))
+        want_per_node.setdefault(b, []).append((s, a))
+    # EVERY scored node must appear — a window regression dropping a
+    # whole partition must fail, not be silently skipped
+    assert per_node.keys() == want_per_node.keys()
+    # sort on ROUNDED score: the Python oracle's different addition
+    # order can put two tied candidates 1 ulp apart, flipping the
+    # -score ordering vs Spark's exact tie broken by candidate id
+    key = lambda t: (-round(t[0], 9), t[1])  # noqa: E731
+    for node, rows in per_node.items():
+        best = sorted(want_per_node[node], key=key)[:2]
+        assert sorted(rows, key=key) == [
+            (pytest.approx(s), c) for s, c in best
         ]
 
 
