@@ -407,7 +407,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pagerank_hot_src": lambda s, d: _q_pagerank_hot_src(s, d),
         "q_sssp_delta_resume": lambda s, d: _q_sssp_delta_resume(s, d),
         "q_adamic_adar": lambda s, d: _q_adamic_adar(s, d),
+        "q_common_neighbors": lambda s, d: _q_common_neighbors(s, d),
     }
+
+
+def _q_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor counts (graph/linkpred.py) — the integer twin of
+    q_adamic_adar's two-path join; min_common=2 keeps the oracle output
+    a step away from the scored query rather than a pure subset."""
+    from plwordnet_spark.graph.linkpred import common_neighbors
+
+    edges = _derived_edges(spark, sf_dir)
+    return common_neighbors(edges, max_degree=10_000, min_common=2)
 
 
 def _q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1746,6 +1757,28 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(1.0 / LN(l.deg_z)), 6) AS score
             FROM nz l JOIN nz r ON l.z = r.z AND l.nbr < r.nbr
             GROUP BY l.nbr, r.nbr
+        """,
+        "q_common_neighbors": f"""
+            WITH edges AS MATERIALIZED ({_EDGE_SQL_DERIVATION}),
+            und AS MATERIALIZED (
+                SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+                FROM edges
+            ),
+            nbrs AS (
+                SELECT a AS z, b AS nbr FROM und
+                UNION ALL
+                SELECT b AS z, a AS nbr FROM und
+            ),
+            degz AS (SELECT z, COUNT(*) AS deg_z FROM nbrs GROUP BY z),
+            nz AS MATERIALIZED (
+                SELECT n.z, n.nbr
+                FROM nbrs n JOIN degz d USING (z)
+                WHERE d.deg_z <= 10000
+            )
+            SELECT l.nbr AS a, r.nbr AS b, COUNT(*) AS common
+            FROM nz l JOIN nz r ON l.z = r.z AND l.nbr < r.nbr
+            GROUP BY l.nbr, r.nbr
+            HAVING COUNT(*) >= 2
         """,
         "q_bfs_distances": _bfs_oracle_sql(),
         "q_landmark_distances": f"""
