@@ -408,7 +408,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sssp_delta_resume": lambda s, d: _q_sssp_delta_resume(s, d),
         "q_adamic_adar": lambda s, d: _q_adamic_adar(s, d),
         "q_common_neighbors": lambda s, d: _q_common_neighbors(s, d),
+        "q_ppr_batch": lambda s, d: _q_ppr_batch(s, d),
     }
+
+
+_PPR_SEEDS = (3, 59, 140)
+
+
+def _q_ppr_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K personalized-PageRank vectors in one composite loop
+    (graph/ppr.py — the landmark trick applied to PPR). Fixed-k run on
+    the mod-211 graph; sparse never-reached (id, seed) rows are
+    densified to their exact 0.0 before hashing so the oracle's dense
+    anchor matches row-for-row."""
+    from plwordnet_spark.graph.ppr import ppr_batch
+
+    edges = _derived_edges(spark, sf_dir)
+    res = ppr_batch(
+        spark, edges, seeds=list(_PPR_SEEDS), tol=0.0,
+        max_iterations=_PR_ITERS, weighted=False,
+    )
+    ids = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    seeds_df = spark.createDataFrame([(int(s),) for s in _PPR_SEEDS], "seed long")
+    return (
+        ids.crossJoin(seeds_df)
+        .join(res.state, ["id", "seed"], "left")
+        .select(
+            "id", "seed",
+            F.round(F.coalesce(F.col("rank"), F.lit(0.0)), 8).alias("rank"),
+        )
+    )
 
 
 def _q_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1102,6 +1135,51 @@ def _pagerank_oracle_sql(
     return ",\n".join(parts) + f"\nSELECT id, ROUND(rank, 8) AS rank FROM r{k}"
 
 
+def _ppr_batch_oracle_sql(
+    seeds: tuple[int, ...] = _PPR_SEEDS,
+    k: int = _PR_ITERS,
+    alpha: float = 0.85,
+) -> str:
+    """Unrolled fixed-k power iteration per seed with a one-hot teleport
+    (rank(seed) += (1-α) + α·dm, all other base terms exactly 0.0),
+    UNION ALL'd with a seed column — the dense replay of ppr_batch's
+    sparse composite loop. Shares the edges/ids/outd CTEs across seeds;
+    AS MATERIALIZED per the _pagerank_oracle_sql precedent."""
+    parts = [
+        f"WITH edges AS MATERIALIZED ({_EDGE_SQL_DERIVATION})",
+        "ids AS MATERIALIZED (SELECT src AS id FROM edges UNION SELECT dst FROM edges)",
+        "outd AS MATERIALIZED (SELECT src AS id, CAST(count(*) AS DOUBLE) AS od "
+        "FROM edges GROUP BY src)",
+    ]
+    selects = []
+    for s in seeds:
+        parts.append(
+            f"r{s}_0 AS MATERIALIZED (SELECT id, "
+            f"CASE WHEN id = {s} THEN 1.0 ELSE 0.0 END AS rank FROM ids)"
+        )
+        for i in range(k):
+            parts.append(
+                f"d{s}_{i} AS MATERIALIZED (SELECT COALESCE(SUM(r.rank), 0.0) AS dm "
+                f"FROM r{s}_{i} r LEFT JOIN outd o ON r.id = o.id WHERE o.id IS NULL)"
+            )
+            parts.append(
+                f"r{s}_{i + 1} AS MATERIALIZED (SELECT ids.id, "
+                f"CASE WHEN ids.id = {s} THEN (1.0 - {alpha}) "
+                f"+ {alpha}*(SELECT dm FROM d{s}_{i}) ELSE 0.0 END "
+                f"+ {alpha} * COALESCE(g.inc, 0.0) AS rank "
+                f"FROM ids LEFT JOIN ("
+                f"SELECT e.dst AS id, SUM(r.rank * (1.0/o.od)) AS inc "
+                f"FROM edges e JOIN outd o ON e.src = o.id "
+                f"JOIN r{s}_{i} r ON r.id = e.src GROUP BY e.dst"
+                f") g ON ids.id = g.id)"
+            )
+        selects.append(
+            f"SELECT id, CAST({s} AS BIGINT) AS seed, ROUND(rank, 8) AS rank "
+            f"FROM r{s}_{k}"
+        )
+    return ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
 def _lpa_oracle_sql(k: int = _LPA_ITERS) -> str:
     """Unrolled synchronous label propagation: most frequent neighbor
     label, ties to the smallest label, isolated nodes keep their own —
@@ -1732,6 +1810,7 @@ def oracle_sql() -> dict[str, str]:
         "q_sssp_delta_stepping": _sssp_oracle_sql(),
         "q_sssp_delta_resume": _sssp_oracle_sql(),
         "q_pagerank_hot_src": _pagerank_oracle_sql(),
+        "q_ppr_batch": _ppr_batch_oracle_sql(),
         "q_adamic_adar": f"""
             WITH edges AS MATERIALIZED ({_EDGE_SQL_DERIVATION}),
             und AS MATERIALIZED (

@@ -226,6 +226,47 @@ def test_edgelog_legacy_entries_dont_trigger_early_compaction(spark, tmp_path):
     assert merged.count() == 3
 
 
+# --- batched personalized PageRank (K seeds, one composite loop) ----------
+
+
+def test_ppr_batch_matches_single_personalized(spark):
+    """Each seed's vector in the composite batch must equal the single
+    personalized pagerank with a one-hot teleport on that seed; rows
+    absent from the sparse composite state are exactly-zero ranks."""
+    from plwordnet_spark.graph.pagerank import pagerank
+    from plwordnet_spark.graph.ppr import ppr_batch
+
+    rng = random.Random(13)
+    rows = [(rng.randrange(50), rng.randrange(50), 1.0) for _ in range(150)]
+    rows = [(s, d, w) for s, d, w in rows if s != d]
+    # add a dangling node so the per-seed dangling mass path is exercised
+    rows.append((3, 777, 1.0))
+    edges = spark.createDataFrame(rows, "src long, dst long, weight double")
+    seeds = [0, 7, 21]
+
+    batch = ppr_batch(
+        spark, edges, seeds, tol=0.0, max_iterations=20, weighted=False
+    )
+    got = {(r.id, r.seed): r.rank for r in batch.state.collect()}
+    for s in seeds:
+        single = pagerank(
+            spark, edges, tol=0.0, max_iterations=20, weighted=False,
+            personalization=spark.createDataFrame(
+                [(s, 1.0)], "id long, p double"
+            ),
+            check_interval=1,
+        )
+        want = {r.id: r.rank for r in single.state.collect()}
+        for node, v in want.items():
+            gv = got.get((node, s), 0.0)  # sparse: missing = exactly 0
+            assert abs(gv - v) < 1e-9, (s, node, gv, v)
+    # seeds outside the node universe are dropped, not phantom rows
+    b2 = ppr_batch(spark, edges, [0, 999_999], tol=0.0, max_iterations=3,
+                   weighted=False)
+    assert b2.state.filter("seed = 999999").count() == 0
+    assert b2.state.filter("seed = 0").count() > 0
+
+
 # --- link prediction: Adamic-Adar / common neighbors ----------------------
 
 
