@@ -423,7 +423,10 @@ def _q_ppr_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     anchor matches row-for-row."""
     from plwordnet_spark.graph.ppr import ppr_batch
 
-    edges = _derived_edges(spark, sf_dir)
+    # cached: ppr_batch derives ids/out-weights/scatter from it and the
+    # densification grid re-reads it — uncached, each reference would
+    # re-run the lineitem mod-211 distinct scan
+    edges = _derived_edges(spark, sf_dir).cache()
     res = ppr_batch(
         spark, edges, seeds=list(_PPR_SEEDS), tol=0.0,
         max_iterations=_PR_ITERS, weighted=False,

@@ -70,16 +70,22 @@ def ppr_batch(
     )
     n_nodes = ids.count()
 
-    if isinstance(seeds, DataFrame):
-        seeds_df = seeds.select(F.col("id").alias("seed")).distinct()
-    else:
-        seeds_df = spark.createDataFrame([(int(s),) for s in seeds], "seed long")
+    # same list/DataFrame seed handling as the bfs family, deduped on
+    # BOTH input forms (a duplicated seed would double its teleport +
+    # init mass and break one-hot parity), restricted to the node
+    # universe like landmark_distances
+    from plwordnet_spark.graph.bfs import _source_ids
+
     seeds_df = (
-        seeds_df.join(ids.withColumnRenamed("id", "seed"), "seed", "left_semi")
+        _source_ids(spark, seeds)
+        .select(F.col("id").alias("seed"))
+        .distinct()
+        .join(ids.withColumnRenamed("id", "seed"), "seed", "left_semi")
         .cache()
     )
     n_seeds = seeds_df.count()
     if n_seeds == 0:
+        seeds_df.unpersist()
         ids.unpersist()
         return PregelResult(
             state=spark.createDataFrame([], "id long, seed long, rank double"),

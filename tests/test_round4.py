@@ -260,11 +260,13 @@ def test_ppr_batch_matches_single_personalized(spark):
         for node, v in want.items():
             gv = got.get((node, s), 0.0)  # sparse: missing = exactly 0
             assert abs(gv - v) < 1e-9, (s, node, gv, v)
-    # seeds outside the node universe are dropped, not phantom rows
-    b2 = ppr_batch(spark, edges, [0, 999_999], tol=0.0, max_iterations=3,
+    # seeds outside the node universe are dropped (no phantom rows) and
+    # a DUPLICATED seed must not double its teleport/init mass
+    b2 = ppr_batch(spark, edges, [0, 0, 999_999], tol=0.0, max_iterations=3,
                    weighted=False)
     assert b2.state.filter("seed = 999999").count() == 0
-    assert b2.state.filter("seed = 0").count() > 0
+    mass0 = b2.state.filter("seed = 0").groupBy().sum("rank").first()[0]
+    assert abs(mass0 - 1.0) < 1e-9
 
 
 # --- link prediction: Adamic-Adar / common neighbors ----------------------
