@@ -140,31 +140,40 @@ def _pagerank_loop(
     # out-edges across buckets by construction): hot srcs' edges go to a
     # round-robin-partitioned slice joined against a BROADCAST of just
     # the hot rank rows, so the hub's edges occupy every core instead of
-    # one fat hash partition. Hot ids are collected once to the driver —
-    # bounded at _MAX_HOT_SRCS (hot keys are hubs; a graph with millions
-    # of above-threshold srcs isn't skewed, it's dense) — keeping the
-    # per-iteration broadcast at most that many rows.
-    hot_ids: list[int] = []
+    # one fat hash partition. The hot-id set stays a DISTRIBUTED frame —
+    # bounded at _MAX_HOT_SRCS rows (hot keys are hubs; a graph with
+    # millions of above-threshold srcs isn't skewed, it's dense) and
+    # cached once, then consumed only through broadcast semi/anti joins:
+    # no driver-side literal list, so the per-iteration plan carries one
+    # small broadcast instead of a 10k-term In expression re-analyzed
+    # every step.
+    hot_src_df = None
     scatter_hot = None
     if hot_src_threshold is not None and not use_csr:
-        hot_rows = (
+        hot_src_df = (
             edge_w.groupBy("src")
             .agg(F.count(F.lit(1)).alias("deg"))
             .filter(F.col("deg") > hot_src_threshold)
-            .orderBy(F.desc("deg"))
+            .orderBy(F.desc("deg"), "src")
             .limit(_MAX_HOT_SRCS)
-            .collect()
+            .select("src")
+            .cache()
         )
-        hot_ids = [int(r["src"]) for r in hot_rows]
-    if hot_ids:
+        # materialized here so the per-iteration broadcast re-reads the
+        # cache instead of re-running the degree aggregation (Catalyst
+        # does not reuse subtrees across a broadcast exchange)
+        if hot_src_df.count() == 0:
+            hot_src_df.unpersist()
+            hot_src_df = None
+    if hot_src_df is not None:
         scatter_hot = (
-            scatter_base.filter(F.col("src").isin(hot_ids))
+            scatter_base.join(F.broadcast(hot_src_df), "src", "left_semi")
             .repartition(spark.sparkContext.defaultParallelism)
             .cache()
         )
         scatter_hot.count()
         scatter = (
-            scatter_base.filter(~F.col("src").isin(hot_ids))
+            scatter_base.join(F.broadcast(hot_src_df), "src", "left_anti")
             .repartition("src")
             .cache()
         )
@@ -270,8 +279,8 @@ def _pagerank_loop(
             return _assemble(gathered, dm)
         contribs = scatter.join(ranks.withColumnRenamed("id", "src"), "src")
         if scatter_hot is not None:
-            hot_ranks = ranks.filter(F.col("id").isin(hot_ids)).withColumnRenamed(
-                "id", "src"
+            hot_ranks = ranks.withColumnRenamed("id", "src").join(
+                F.broadcast(hot_src_df), "src", "left_semi"
             )
             contribs = contribs.unionByName(
                 scatter_hot.join(F.broadcast(hot_ranks), "src")
@@ -340,6 +349,8 @@ def _pagerank_loop(
     scatter.unpersist()
     if scatter_hot is not None:
         scatter_hot.unpersist()
+    if hot_src_df is not None:
+        hot_src_df.unpersist()
     dangling.unpersist()
     if pvec is not None:
         pvec.unpersist()
