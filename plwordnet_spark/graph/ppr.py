@@ -52,13 +52,24 @@ def ppr_batch(
     weighted: bool = True,
     checkpoint_dir: str | None = None,
     checkpoint_interval: int = 5,
+    resume: bool = False,
 ) -> PregelResult:
     """edges(src, dst[, weight]) + K seeds → state (id, seed, rank).
 
     Seeds absent from the graph's node universe are dropped (parity
     with ``landmark_distances``; a one-hot personalization over a
     missing node has zero total mass). Rows absent from the result are
-    exactly-zero ranks."""
+    exactly-zero ranks.
+
+    **Checkpoint/resume** (same contract as ``pagerank``/``bfs``): with
+    ``checkpoint_dir`` set, the composite (id, seed, rank) state is
+    durably snapshotted every ``checkpoint_interval`` iterations plus on
+    exit; ``resume=True`` restarts from the latest committed snapshot
+    (falling back to a fresh run on an empty store) and — the iteration
+    being deterministic — converges to the same final state as an
+    uninterrupted run with the same ``seeds``/knobs (kill-and-resume
+    tested). Callers must pass the SAME seed set on resume; the
+    snapshot carries ranks, not the seed roster."""
     weight_col = F.col("weight") if weighted and "weight" in edges.columns else F.lit(1.0)
     edge_w = edges.select("src", "dst", weight_col.cast("double").alias("w"))
 
@@ -167,8 +178,12 @@ def ppr_batch(
         checkpoint_interval=checkpoint_interval,
         truncate_interval=1,  # step references state 3x — no soft chains
     )
+    if resume and checkpoint_dir is None:
+        raise ValueError("resume requires a checkpoint_dir")
     with loop_tuning(spark, n_scatter):
-        res = runner.run(init, step, delta if tol > 0 else None)
+        res = runner.resume(step, delta if tol > 0 else None) if resume else None
+        if res is None:  # fresh run, or resume over an empty store
+            res = runner.run(init, step, delta if tol > 0 else None)
         state = res.state.select("id", "seed", "rank")
     scatter.unpersist()
     dangling.unpersist()

@@ -64,11 +64,33 @@ class SnapshotStore:
     def write(self, df: DataFrame, iteration: int, metrics: dict | None = None) -> DataFrame:
         """Persist ``df`` as the next snapshot; return the re-read frame
         (lineage truncated — the caller continues iterating on the
-        re-read plan, which is the whole point of checkpointing)."""
+        re-read plan, which is the whole point of checkpointing).
+        Implemented as stage + commit so the snapshot id is assigned at
+        COMMIT time (two concurrent stages cannot collide on a path)."""
+        return self.commit_staged(self.stage(df), iteration, metrics)
+
+    # -- staged two-phase write --------------------------------------------
+    def stage(self, df: DataFrame) -> str:
+        """Phase 1: write ``df``'s data files to an UNCOMMITTED staging
+        directory and return its path. Staged data is invisible to
+        readers (the manifest is the source of truth); a crash leaves an
+        orphan directory that is never read. Use when the decision to
+        commit depends on metrics collected DURING the write (e.g. an
+        ``Observation``-carried idempotence fingerprint) — the Iceberg
+        write-data-files-then-commit-snapshot protocol."""
+        import uuid
+
+        path = os.path.join(self.root, f"_staged_{uuid.uuid4().hex}")
+        df.write.mode("overwrite").parquet(path)
+        return path
+
+    def commit_staged(self, staged_path: str, iteration: int, metrics: dict | None = None) -> DataFrame:
+        """Phase 2: atomically promote a staged directory to the next
+        snapshot (same-filesystem rename + manifest append)."""
         entries = self.manifest()
         snap_id = len(entries)
         path = os.path.join(self.root, f"snap_{snap_id:06d}")
-        df.write.mode("overwrite").parquet(path)
+        os.replace(staged_path, path)
         files = [
             {"file": name, "bytes": os.path.getsize(os.path.join(path, name))}
             for name in sorted(os.listdir(path))
@@ -86,6 +108,12 @@ class SnapshotStore:
         )
         self._write_manifest(entries)
         return self.spark.read.parquet(path)
+
+    def abandon_staged(self, staged_path: str) -> None:
+        """Discard a staged write (replayed micro-batch, aborted job)."""
+        import shutil
+
+        shutil.rmtree(staged_path, ignore_errors=True)
 
     def update_metrics(self, iteration: int, metrics: dict) -> None:
         """Patch the metrics of the newest snapshot for ``iteration`` —

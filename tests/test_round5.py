@@ -1,0 +1,157 @@
+"""Round-5 additions: ppr_batch checkpoint/resume, cache-release
+handles, ingest sketch amortization invariants."""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _graph(spark, seed=5, n=60, m=300):
+    rng = random.Random(seed)
+    rows = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+    rows = [(s, d) for s, d in rows if s != d]
+    # ring so every node has out-degree >= 1 is NOT added: ppr handles
+    # dangling mass explicitly and the test should cover that path
+    return spark.createDataFrame(rows, "src long, dst long")
+
+
+def _state_map(res):
+    return {(r.id, r.seed): r.rank for r in res.state.collect()}
+
+
+def _assert_close(got, want, tol=1e-9):
+    assert got.keys() == want.keys()
+    for k in want:
+        assert abs(got[k] - want[k]) < tol, (k, got[k], want[k])
+
+
+# --- ppr_batch checkpoint/resume (VERDICT r4 task 4) ----------------------
+
+
+def test_ppr_batch_kill_and_resume_matches_uninterrupted(spark, tmp_path):
+    """A ppr_batch run killed mid-flight (simulated: the final exit
+    snapshot is expired from the manifest, leaving only the last
+    interval checkpoint — exactly what a crash between checkpoints
+    leaves behind) and resumed must converge to the same (id, seed,
+    rank) state as an uninterrupted run."""
+    from plwordnet_spark.graph.ppr import ppr_batch
+
+    edges = _graph(spark)
+    seeds = [0, 7, 13]
+    ckpt = str(tmp_path / "ppr_ckpt")
+
+    # phase 1: partial run with durable snapshots every 2 iterations
+    ppr_batch(
+        spark, edges, seeds, tol=0.0, max_iterations=3,
+        checkpoint_dir=ckpt, checkpoint_interval=2,
+    )
+    manifest_path = os.path.join(ckpt, "manifest.json")
+    with open(manifest_path, encoding="utf-8") as fh:
+        entries = json.load(fh)
+    assert [e["iteration"] for e in entries] == [2, 3]
+    # simulate the kill: drop the exit snapshot so the newest committed
+    # state is the mid-run interval checkpoint at iteration 2
+    entries[-1]["expired"] = True
+    with open(manifest_path, "w", encoding="utf-8") as fh:
+        json.dump(entries, fh)
+
+    resumed = ppr_batch(
+        spark, edges, seeds, tol=0.0, max_iterations=8,
+        checkpoint_dir=ckpt, checkpoint_interval=2, resume=True,
+    )
+    assert resumed.iterations == 8  # continued 3..8, not restarted
+
+    plain = ppr_batch(spark, edges, seeds, tol=0.0, max_iterations=8)
+    _assert_close(_state_map(resumed), _state_map(plain))
+
+
+def test_ppr_batch_resume_empty_store_runs_fresh(spark, tmp_path):
+    from plwordnet_spark.graph.ppr import ppr_batch
+
+    edges = _graph(spark, seed=6)
+    res = ppr_batch(
+        spark, edges, [1, 2], tol=0.0, max_iterations=4,
+        checkpoint_dir=str(tmp_path / "empty_ckpt"), resume=True,
+    )
+    plain = ppr_batch(spark, edges, [1, 2], tol=0.0, max_iterations=4)
+    _assert_close(_state_map(res), _state_map(plain))
+
+
+def test_ppr_batch_resume_requires_checkpoint_dir(spark):
+    from plwordnet_spark.graph.ppr import ppr_batch
+
+    with pytest.raises(ValueError, match="checkpoint_dir"):
+        ppr_batch(_graph(spark).sparkSession, _graph(spark), [0], resume=True)
+
+
+# --- single-job staged ingest commit (VERDICT r4 task 2) ------------------
+
+
+def _pages(spark, n=400, seed=11):
+    from plwordnet_spark.corpus import generate_pages
+
+    return generate_pages(spark, n, seed)
+
+
+def test_merge_batch_single_job_commit_carries_sketch(spark, tmp_path):
+    """merge_batch commits the delta with its fingerprint AND edge_hll
+    sketch in ONE manifest entry (no separate patch step — a crash can
+    never leave a committed delta without its stats)."""
+    from plwordnet_spark.streaming.ingest import EdgeLog
+
+    log = EdgeLog(spark, str(tmp_path / "log"), compact_every=10)
+    assert log.merge_batch(_pages(spark), batch_id=0) is True
+    [entry] = log.store.manifest()
+    m = entry["metrics"]
+    assert m["kind"] == "delta" and m["fp_version"] == 2
+    assert m["pages_in_batch"] == 400
+    assert m["content_hash"] and m["edge_hll"]
+    # the sketch must estimate the actual distinct edge count
+    merged, _ = log.latest()
+    exact = merged.count()
+    approx = log.approx_distinct_edges()
+    assert abs(approx - exact) / exact < 0.05
+
+
+def test_merge_batch_replay_abandons_staging(spark, tmp_path):
+    """A byte-identical replay is skipped: no new manifest entry, no
+    weight double-count, and the staged directory is cleaned up."""
+    from plwordnet_spark.streaming.ingest import EdgeLog
+
+    root = str(tmp_path / "log")
+    log = EdgeLog(spark, root, compact_every=10)
+    pages = _pages(spark)
+    assert log.merge_batch(pages, batch_id=3) is True
+    before = log.latest()[0].agg(F.sum("weight").alias("w")).first()["w"]
+
+    assert log.merge_batch(pages, batch_id=3) is False  # replay
+    assert len(log.store.manifest()) == 1
+    after = log.latest()[0].agg(F.sum("weight").alias("w")).first()["w"]
+    assert after == before
+    assert not [d for d in os.listdir(root) if d.startswith("_staged_")]
+
+    # same batch_id but CHANGED content must merge (recrawl semantics)
+    assert log.merge_batch(_pages(spark, seed=12), batch_id=3) is True
+    assert len(log.store.manifest()) == 2
+
+
+def test_compaction_base_sketch_is_metadata_union(spark, tmp_path):
+    """The compacted base's edge_hll comes from the metadata-only HLL
+    union of the chain's sketches and still estimates the folded table's
+    distinct edges."""
+    from plwordnet_spark.streaming.ingest import EdgeLog
+
+    log = EdgeLog(spark, str(tmp_path / "log"), compact_every=2)
+    log.merge_batch(_pages(spark, n=300, seed=21), batch_id=0)
+    log.merge_batch(_pages(spark, n=300, seed=22), batch_id=1)  # compacts
+    live = [e for e in log.store.manifest() if not e.get("expired")]
+    assert [e["metrics"]["kind"] for e in live] == ["base"]
+    assert live[0]["metrics"]["edge_hll"]
+    merged, _ = log.latest()
+    exact = merged.count()
+    assert abs(log.approx_distinct_edges() - exact) / exact < 0.05
