@@ -24,4 +24,5 @@ appears only inside Arrow-vectorized pandas UDFs.
 
 __version__ = "0.1.0"
 
+from plwordnet_spark.cache import CacheScope  # noqa: F401
 from plwordnet_spark.session import get_spark  # noqa: F401

@@ -230,19 +230,25 @@ def cmd_similar(args) -> int:
 
 def cmd_dedup(args) -> int:
     spark = get_spark("cli-dedup", master=args.master)
+    from plwordnet_spark.cache import CacheScope
     from plwordnet_spark.textops.dedup import exact_dedup, minhash_lsh_dedup
 
     docs = spark.read.parquet(args.documents).select("doc_id", "text")
-    if args.method == "exact":
-        kept = exact_dedup(docs)
-        pairs_n = 0
-    else:
-        kept, pairs = minhash_lsh_dedup(spark, docs, threshold=args.threshold)
-        pairs_n = pairs.count()
-    if args.output:
-        kept.write.mode("overwrite").parquet(args.output)
-    print(json.dumps({"input": docs.count(), "kept": kept.count(),
-                      "dup_pairs": pairs_n}))
+    # own the operator's internal caches: consume, then release — a
+    # long-lived service calling this per-request stays storage-flat
+    with CacheScope() as scope:
+        if args.method == "exact":
+            kept = exact_dedup(docs)
+            pairs_n = 0
+        else:
+            kept, pairs = minhash_lsh_dedup(
+                spark, docs, threshold=args.threshold, scope=scope
+            )
+            pairs_n = pairs.count()
+        if args.output:
+            kept.write.mode("overwrite").parquet(args.output)
+        print(json.dumps({"input": docs.count(), "kept": kept.count(),
+                          "dup_pairs": pairs_n}))
     spark.stop()
     return 0
 

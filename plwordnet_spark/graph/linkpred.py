@@ -34,9 +34,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from plwordnet_spark.cache import CacheScope
 from plwordnet_spark.graph.triangles import canonical_undirected
 
 __all__ = ["adamic_adar", "common_neighbors"]
+
+
+def _cached(df: DataFrame, scope: CacheScope | None) -> DataFrame:
+    return scope.cache(df) if scope is not None else df.cache()
 
 
 def _neighbors_with_degree(edges: DataFrame, max_degree: int | None) -> DataFrame:
@@ -58,14 +63,17 @@ def common_neighbors(
     edges: DataFrame,
     max_degree: int | None = 10_000,
     min_common: int = 1,
+    scope: CacheScope | None = None,
 ) -> DataFrame:
     """(a, b, common) for unordered pairs sharing ≥ ``min_common``
     neighbors of degree ≤ ``max_degree``. Includes already-linked pairs
     (filter with an anti-join against the edge set for pure link
     prediction — kept separate so the score is reusable for dedup/
-    similarity too). ``nz`` is cached (referenced twice by the
-    self-join) and stays cached for the returned plan's lifetime."""
-    nz = _neighbors_with_degree(edges, max_degree).cache()
+    similarity too). The two-path input ``nz`` is cached (referenced
+    twice by the self-join); pass a :class:`CacheScope` to own its
+    release after consuming the result — without one it stays cached
+    for the returned plan's lifetime."""
+    nz = _cached(_neighbors_with_degree(edges, max_degree), scope)
     left = nz.select("z", F.col("nbr").alias("a"))
     right = nz.select("z", F.col("nbr").alias("b"))
     return (
@@ -81,6 +89,7 @@ def adamic_adar(
     edges: DataFrame,
     max_degree: int | None = 10_000,
     top_k: int | None = None,
+    scope: CacheScope | None = None,
 ) -> DataFrame:
     """Adamic-Adar link-prediction scores.
 
@@ -98,10 +107,10 @@ def adamic_adar(
 
     The shared two-path input (``nz``) is referenced twice by the
     self-join; it is cache()d here and materialized by the first action
-    on the result — it stays cached for the lifetime of the returned
-    plan (long-lived sessions can ``spark.catalog.clearCache()`` or
-    consume and discard)."""
-    nz = _neighbors_with_degree(edges, max_degree).cache()
+    on the result. Pass a :class:`CacheScope` to own its release after
+    consuming the result; without one it stays cached for the returned
+    plan's lifetime."""
+    nz = _cached(_neighbors_with_degree(edges, max_degree), scope)
     left = nz.select("z", F.col("nbr").alias("a"), "deg_z")
     right = nz.select("z", F.col("nbr").alias("b"))
     scored = (

@@ -38,11 +38,39 @@ def drop_table(spark: SparkSession, table: str) -> None:
     warehouse directory behind with no catalog entry; the next
     ``saveAsTable`` then refuses with LOCATION_ALREADY_EXISTS. Call this
     before every ``write_bucketed`` of a managed table name that a
-    previous (possibly crashed) run may have used."""
+    previous (possibly crashed) run may have used.
+
+    When the table still EXISTS in the catalog, its real location is
+    resolved from the catalog before dropping, so qualified names
+    (``db.tbl``) and non-default current databases are handled. The
+    crashed-run fallback (no catalog entry, so nothing to resolve)
+    applies only to UNQUALIFIED names and targets
+    ``<warehouse>/<name><suffix>``, where the suffix covers default-
+    database layouts across Spark versions ('' and '.db' parents are
+    NOT guessed — a qualified name whose catalog entry is already gone
+    must be cleaned up by the caller, rather than this function rmtree'ing
+    a guessed path that may belong to something else (ADVICE r4)."""
     import os
     import shutil
 
+    location = None
+    if spark.catalog.tableExists(table):
+        try:
+            detail = spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
+            for row in detail:
+                if row["col_name"] == "Location":
+                    location = row["data_type"]
+                    break
+        except Exception:
+            location = None  # raced away / view: fall through
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+    if location:
+        if location.startswith("file:"):
+            location = location[len("file:"):]
+        shutil.rmtree(location, ignore_errors=True)
+        return
+    if "." in table:
+        return  # qualified name with no catalog entry: no safe guess
     warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
     if warehouse.startswith("file:"):
         warehouse = warehouse[len("file:"):]

@@ -28,6 +28,8 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from plwordnet_spark.cache import CacheScope
+
 __all__ = [
     "normalize_text_expr",
     "exact_dedup",
@@ -149,6 +151,7 @@ def minhash_lsh_dedup(
     shingle_n: int = 3,
     threshold: float = 0.8,
     max_bucket: int = 1000,
+    scope: CacheScope | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """→ (kept_docs, dup_pairs).
 
@@ -158,6 +161,12 @@ def minhash_lsh_dedup(
     components; each cluster keeps min(id). Buckets larger than
     ``max_bucket`` are dropped (boilerplate shingles — the documented
     skew guard; such docs still pair through their other bands).
+
+    The returned ``dup_pairs`` is cache()d (the CC closure consumes it
+    here AND the caller reads it); pass a
+    :class:`~plwordnet_spark.cache.CacheScope` to own its release after
+    consuming both outputs — without one it stays cached for the
+    returned plans' lifetime.
     """
     sig = minhash_signatures(docs, id_col, text_col, n_hashes, shingle_n).cache()
     bands = _band_table(sig, id_col, n_hashes, n_bands)
@@ -190,6 +199,8 @@ def minhash_lsh_dedup(
         .select("id_a", "id_b", "est_jaccard")
     ).cache()  # consumed by CC iteration AND returned to the caller —
     # without this every consumer re-runs the signature pipeline
+    if scope is not None:
+        scope.own(dup_pairs)
     # transitive closure with our own CC job; keep min-id per cluster.
     # CC runs ONLY over ids that appear in dup_pairs — every other doc is
     # its own component by construction, so at 10^10 docs the iterated CC
@@ -292,6 +303,7 @@ def exact_jaccard_for_pairs(
     text_col: str = "text",
     shingle_n: int = 3,
     max_broadcast_ids: int = 4_000_000,
+    scope: CacheScope | None = None,
 ) -> DataFrame:
     """Exact word-n-gram Jaccard for an explicit candidate-pair table.
 
@@ -313,11 +325,11 @@ def exact_jaccard_for_pairs(
     shuffles instead of OOMing the driver on collect-for-broadcast.
 
     Caching contract: an unmaterialized ``pairs`` plan is persist()ed
-    here (the size-check count materializes it; the joins reuse it) and
-    stays cached for the lifetime of the returned plan — long-lived
-    sessions calling this repeatedly should ``pairs.unpersist()`` after
-    consuming the result, or pass an already-cached frame and manage it
-    themselves.
+    here (the size-check count materializes it; the joins reuse it).
+    Pass a :class:`~plwordnet_spark.cache.CacheScope` to own its release
+    after consuming the result; without one it stays cached for the
+    lifetime of the returned plan (callers may also ``pairs.unpersist()``
+    themselves, or pass an already-cached frame they manage).
     """
     # the size check below counts ``pairs`` and the joins re-read it; for
     # an unmaterialized expensive plan (e.g. fresh MinHash candidate
@@ -329,6 +341,8 @@ def exact_jaccard_for_pairs(
 
     if pairs.storageLevel == StorageLevel.NONE:
         pairs = pairs.persist()
+        if scope is not None:
+            scope.own(pairs)
     cand_ids = (
         pairs.select(F.col("id_a").alias(id_col))
         .unionByName(pairs.select(F.col("id_b").alias(id_col)))
