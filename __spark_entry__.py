@@ -408,6 +408,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sssp_delta_resume": lambda s, d: _q_sssp_delta_resume(s, d),
         "q_adamic_adar": lambda s, d: _q_adamic_adar(s, d),
         "q_common_neighbors": lambda s, d: _q_common_neighbors(s, d),
+        "q_resource_allocation": lambda s, d: _q_resource_allocation(s, d),
+        "q_jaccard_linkpred": lambda s, d: _q_jaccard_linkpred(s, d),
         "q_ppr_batch": lambda s, d: _q_ppr_batch(s, d),
     }
 
@@ -471,6 +473,33 @@ def _q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the library default is a tunable knob; retuning it must not
     # silently diverge this contract query from its SQL
     return adamic_adar(edges, max_degree=10_000).select(
+        "a", "b", F.round("score", 6).alias("score")
+    )
+
+
+def _q_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resource-Allocation link-prediction index over the mod-211 graph
+    (graph/linkpred.py): the Adamic-Adar twin with the harsher 1/deg
+    hub penalty; the DuckDB oracle replays the same two-path join with
+    SUM(1.0/deg). max_degree pinned to the oracle's 10000."""
+    from plwordnet_spark.graph.linkpred import resource_allocation
+
+    edges = _derived_edges(spark, sf_dir)
+    return resource_allocation(edges, max_degree=10_000).select(
+        "a", "b", F.round("score", 6).alias("score")
+    )
+
+
+def _q_jaccard_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard link-prediction coefficient over the mod-211 graph
+    (graph/linkpred.py): common/(deg_a+deg_b-common) with the capped
+    two-path intersection and true full degrees — replayed verbatim in
+    SQL. min_common=2 keeps the pair universe the oracle materializes
+    bounded (same choice as q_common_neighbors)."""
+    from plwordnet_spark.graph.linkpred import jaccard_coefficient
+
+    edges = _derived_edges(spark, sf_dir)
+    return jaccard_coefficient(edges, max_degree=10_000, min_common=2).select(
         "a", "b", F.round("score", 6).alias("score")
     )
 
@@ -1839,6 +1868,60 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(1.0 / LN(l.deg_z)), 6) AS score
             FROM nz l JOIN nz r ON l.z = r.z AND l.nbr < r.nbr
             GROUP BY l.nbr, r.nbr
+        """,
+        "q_resource_allocation": f"""
+            WITH edges AS MATERIALIZED ({_EDGE_SQL_DERIVATION}),
+            und AS MATERIALIZED (
+                SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+                FROM edges
+            ),
+            nbrs AS (
+                SELECT a AS z, b AS nbr FROM und
+                UNION ALL
+                SELECT b AS z, a AS nbr FROM und
+            ),
+            degz AS (SELECT z, COUNT(*) AS deg_z FROM nbrs GROUP BY z),
+            nz AS MATERIALIZED (
+                SELECT n.z, n.nbr, d.deg_z
+                FROM nbrs n JOIN degz d USING (z)
+                WHERE d.deg_z <= 10000
+            )
+            SELECT l.nbr AS a, r.nbr AS b,
+                   ROUND(SUM(1.0 / l.deg_z), 6) AS score
+            FROM nz l JOIN nz r ON l.z = r.z AND l.nbr < r.nbr
+            GROUP BY l.nbr, r.nbr
+        """,
+        "q_jaccard_linkpred": f"""
+            WITH edges AS MATERIALIZED ({_EDGE_SQL_DERIVATION}),
+            und AS MATERIALIZED (
+                SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+                FROM edges
+            ),
+            nbrs AS (
+                SELECT a AS z, b AS nbr FROM und
+                UNION ALL
+                SELECT b AS z, a AS nbr FROM und
+            ),
+            degz AS MATERIALIZED (
+                SELECT z, COUNT(*) AS deg_z FROM nbrs GROUP BY z
+            ),
+            nz AS MATERIALIZED (
+                SELECT n.z, n.nbr
+                FROM nbrs n JOIN degz d USING (z)
+                WHERE d.deg_z <= 10000
+            ),
+            common AS (
+                SELECT l.nbr AS a, r.nbr AS b, COUNT(*) AS common
+                FROM nz l JOIN nz r ON l.z = r.z AND l.nbr < r.nbr
+                GROUP BY l.nbr, r.nbr
+                HAVING COUNT(*) >= 2
+            )
+            SELECT c.a, c.b,
+                   ROUND(c.common * 1.0
+                         / (da.deg_z + db.deg_z - c.common), 6) AS score
+            FROM common c
+            JOIN degz da ON da.z = c.a
+            JOIN degz db ON db.z = c.b
         """,
         "q_common_neighbors": f"""
             WITH edges AS MATERIALIZED ({_EDGE_SQL_DERIVATION}),

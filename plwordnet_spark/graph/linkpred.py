@@ -37,7 +37,12 @@ from pyspark.sql import functions as F
 from plwordnet_spark.cache import CacheScope
 from plwordnet_spark.graph.triangles import canonical_undirected
 
-__all__ = ["adamic_adar", "common_neighbors"]
+__all__ = [
+    "adamic_adar",
+    "common_neighbors",
+    "jaccard_coefficient",
+    "resource_allocation",
+]
 
 
 def _cached(df: DataFrame, scope: CacheScope | None) -> DataFrame:
@@ -134,3 +139,70 @@ def adamic_adar(
             .drop("_rk")
         )
     return scored
+
+
+def resource_allocation(
+    edges: DataFrame,
+    max_degree: int | None = 10_000,
+    scope: CacheScope | None = None,
+) -> DataFrame:
+    """Resource-Allocation link-prediction index (Zhou/Lü/Zhang 2009):
+    score(a,b) = Σ_{z ∈ N(a)∩N(b), deg(z) ≤ max_degree} 1 / deg_z.
+
+    The Adamic-Adar twin with a harsher hub penalty (1/deg instead of
+    1/ln deg) — the strongest of the classic local indices on scale-free
+    graphs in published evaluations. Same two-path join + map-side-
+    partial-agg shape, same ``max_degree`` landmine bound, same
+    :class:`CacheScope` ownership contract as :func:`adamic_adar`."""
+    nz = _cached(_neighbors_with_degree(edges, max_degree), scope)
+    left = nz.select("z", F.col("nbr").alias("a"), "deg_z")
+    right = nz.select("z", F.col("nbr").alias("b"))
+    return (
+        left.join(right, "z")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.sum(F.lit(1.0) / F.col("deg_z")).alias("score"))
+    )
+
+
+def jaccard_coefficient(
+    edges: DataFrame,
+    max_degree: int | None = 10_000,
+    min_common: int = 1,
+    scope: CacheScope | None = None,
+) -> DataFrame:
+    """Jaccard link-prediction coefficient:
+    score(a,b) = |N(a)∩N(b)| / |N(a)∪N(b)|
+               = common / (deg(a) + deg(b) − common).
+
+    The intersection is counted over shared neighbors of degree ≤
+    ``max_degree`` (the family's quadratic-join bound — a mega-hub
+    shared neighbor adds deg² candidate pairs while dragging every
+    score toward 0); the denominator uses the TRUE degrees of a and b
+    (degrees are one cheap aggregation, no quadratic risk), so when the
+    cap never binds this is the exact textbook coefficient. Pairs with
+    fewer than ``min_common`` capped shared neighbors are dropped
+    (their score would be ~0 and the pair universe quadratic)."""
+    common = common_neighbors(
+        edges, max_degree=max_degree, min_common=min_common, scope=scope
+    )
+    und = canonical_undirected(edges)
+    full_deg = (
+        und.select(F.col("a").alias("n")).unionByName(und.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    return (
+        common.join(full_deg.withColumnRenamed("n", "a"), "a")
+        .withColumnRenamed("deg", "deg_a")
+        .join(full_deg.withColumnRenamed("n", "b"), "b")
+        .withColumnRenamed("deg", "deg_b")
+        .select(
+            "a",
+            "b",
+            (
+                F.col("common")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("common"))
+            ).alias("score"),
+        )
+    )

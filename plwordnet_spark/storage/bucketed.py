@@ -21,6 +21,7 @@ from __future__ import annotations
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 __all__ = [
     "write_bucketed",
@@ -106,8 +107,26 @@ def write_bucketed(
     n_buckets: int = 32,
     sort_cols: list[str] | None = None,
     mode: str = "overwrite",
+    align_partitions: bool = True,
 ) -> None:
-    """Persist ``df`` as a bucketed (and optionally sorted) table."""
+    """Persist ``df`` as a bucketed (and optionally sorted) table.
+
+    ``align_partitions`` (default on) repartitions by the bucket columns
+    into exactly ``n_buckets`` partitions before writing. Spark's
+    ``repartition(n, cols)`` hash (pmod of Murmur3) is the SAME function
+    the bucketed writer uses to assign bucket ids, so each writer task
+    holds exactly one bucket's rows → **one file per bucket** instead of
+    (writer-partitions × buckets) shards. This matters twice at scale:
+    a bucket-pruned point lookup runs as ONE task reading that bucket's
+    files, so per-lookup latency is the serial read of table/N_buckets
+    bytes plus per-file overhead — round 5 measured the unaligned layout
+    (64 writers × 16 buckets ≈ 10³ shards) LOSING to a parallel full
+    scan at 2.5 GB, and the aligned layout winning (BENCH/runs/
+    bucket_lookup*.json); and shuffle-free bucketed joins open one
+    stream per bucket file on both sides. Turn off only when a single
+    bucket's data exceeds a comfortable write-task size."""
+    if align_partitions:
+        df = df.repartition(n_buckets, *[F.col(c) for c in bucket_cols])
     writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)

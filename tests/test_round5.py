@@ -89,6 +89,81 @@ def test_ppr_batch_resume_requires_checkpoint_dir(spark):
         ppr_batch(_graph(spark).sparkSession, _graph(spark), [0], resume=True)
 
 
+# --- new link-prediction indices (round 5) --------------------------------
+
+
+def _py_neighbor_sets(rows):
+    und = {(min(s, d), max(s, d)) for s, d in rows if s != d}
+    nbrs: dict[int, set] = {}
+    for a, b in und:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    return nbrs
+
+
+def test_resource_allocation_matches_pure_python(spark):
+    from plwordnet_spark.graph.linkpred import resource_allocation
+
+    edges = _graph(spark, seed=13)
+    rows = [(r.src, r.dst) for r in edges.collect()]
+    nbrs = _py_neighbor_sets(rows)
+    want = {}
+    nodes = sorted(nbrs)
+    for i, a in enumerate(nodes):
+        for b in nodes[i + 1:]:
+            shared = nbrs[a] & nbrs[b]
+            if shared:
+                want[(a, b)] = sum(1.0 / len(nbrs[z]) for z in shared)
+    got = {(r.a, r.b): r.score for r in resource_allocation(edges).collect()}
+    assert got.keys() == want.keys()
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9
+
+
+def test_jaccard_coefficient_matches_pure_python(spark):
+    from plwordnet_spark.graph.linkpred import jaccard_coefficient
+
+    edges = _graph(spark, seed=14)
+    rows = [(r.src, r.dst) for r in edges.collect()]
+    nbrs = _py_neighbor_sets(rows)
+    want = {}
+    nodes = sorted(nbrs)
+    for i, a in enumerate(nodes):
+        for b in nodes[i + 1:]:
+            common = len(nbrs[a] & nbrs[b])
+            if common >= 1:
+                want[(a, b)] = common / len(nbrs[a] | nbrs[b])
+    got = {(r.a, r.b): r.score for r in jaccard_coefficient(edges).collect()}
+    assert got.keys() == want.keys()
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9
+
+
+def test_jaccard_max_degree_caps_intersection_only(spark):
+    """With a binding cap, the hub is excluded from intersections but
+    full degrees still form the denominator."""
+    from plwordnet_spark.graph.linkpred import jaccard_coefficient
+
+    # star: hub 0 linked to 1..5; plus 1-2 and 1-3 direct links
+    rows = [(0, i) for i in range(1, 6)] + [(1, 2), (1, 3)]
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    # cap 4 < hub degree 5: hub 0 can no longer BE a shared neighbor,
+    # so pairs sharing only the hub (e.g. (4,5)) disappear; two-paths
+    # through capped nodes 1/2/3 survive, and denominators keep the
+    # TRUE degrees (hub deg(0)=5 included)
+    got = {(r.a, r.b): r.score for r in
+           jaccard_coefficient(edges, max_degree=4).collect()}
+    want = {
+        (0, 1): 2 / (5 + 3 - 2),  # z in {2,3}
+        (0, 2): 1 / (5 + 2 - 1),  # z = 1
+        (0, 3): 1 / (5 + 2 - 1),
+        (2, 3): 1 / (2 + 2 - 1),  # z = 1 only (hub excluded)
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9
+
+
 # --- single-job staged ingest commit (VERDICT r4 task 2) ------------------
 
 

@@ -112,6 +112,13 @@ def main() -> None:
             for dp, _, fs in os.walk(path) for f in fs
         )
 
+    def n_files(table: str) -> int:
+        wh = spark.conf.get("spark.sql.warehouse.dir", "").removeprefix("file:")
+        loc = os.path.join(wh, table)
+        return sum(
+            1 for dp, _, fs in os.walk(loc) for f in fs if f.endswith(".parquet")
+        )
+
     out = {
         "kind": "bucket_lookup",
         "cpus": args.cpus,
@@ -119,6 +126,8 @@ def main() -> None:
         "n_buckets": args.buckets,
         "lookups": args.lookups,
         "table_bytes": du(plain_path),
+        "bucketed_files": n_files("lu_bucketed"),
+        "bucketed_sorted_files": n_files("lu_bucketed_sorted"),
         "plain_seconds": round(plain_sec, 2),
         "plain_lookups_per_sec": round(args.lookups / plain_sec, 2),
         "bucketed_seconds": round(bucketed_sec, 2),

@@ -66,7 +66,7 @@ def main() -> None:
                 auto_tune=False, check_interval=args.iters,
                 personalization=pers,
             )
-            total += res.ranks.filter(F.col("rank") > 0).count()
+            total += res.state.filter(F.col("rank") > 0).count()
         return total
 
     # warm both paths once (codegen + cache) outside the timings
