@@ -410,6 +410,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_common_neighbors": lambda s, d: _q_common_neighbors(s, d),
         "q_resource_allocation": lambda s, d: _q_resource_allocation(s, d),
         "q_jaccard_linkpred": lambda s, d: _q_jaccard_linkpred(s, d),
+        "q_asof_join": lambda s, d: _q_asof_join(s, d),
+        "q_range_join": lambda s, d: _q_range_join(s, d),
         "q_ppr_batch": lambda s, d: _q_ppr_batch(s, d),
     }
 
@@ -475,6 +477,53 @@ def _q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return adamic_adar(edges, max_degree=10_000).select(
         "a", "b", F.round("score", 6).alias("score")
     )
+
+
+def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (plwordnet_spark.temporal.asof_join): each
+    click event picks the latest at-or-before view event of the same
+    user — tagged-union + last-non-null window, ONE shuffle, vs the
+    oracle's native DuckDB ASOF LEFT JOIN. The view side is
+    pre-aggregated to one row per (user_id, ts) (max event_id) so tie
+    resolution is engine-independent."""
+    from plwordnet_spark.temporal import asof_join
+
+    events = _t(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id", F.col("ts").alias("vts"))
+        .agg(F.max("event_id").alias("view_id"))
+    )
+    return asof_join(
+        clicks, views, on="user_id", left_ts="ts", right_ts="vts"
+    ).select("event_id", "user_id", "ts", "vts_r", "view_id_r")
+
+
+def _q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval range join (plwordnet_spark.temporal.
+    range_join_bins): click events falling inside any same-user 6-hour
+    error window, binned onto the 6-hour grid so the inequality join
+    becomes an equi-join + containment filter (Spark would otherwise
+    plan a nested-loop). Oracle: the plain inequality join in DuckDB."""
+    from plwordnet_spark.temporal import range_join_bins
+
+    events = _t(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    errors = events.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        "user_id",
+        F.col("ts").alias("lo"),
+        (F.col("ts") + F.expr("INTERVAL 6 HOURS")).alias("hi"),
+    )
+    return range_join_bins(
+        clicks, errors, point_col="ts", lo_col="lo", hi_col="hi",
+        on="user_id", bin_width_sec=6 * 3600.0,
+    ).select("click_id", "error_id", "user_id")
 
 
 def _q_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1868,6 +1917,36 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(1.0 / LN(l.deg_z)), 6) AS score
             FROM nz l JOIN nz r ON l.z = r.z AND l.nbr < r.nbr
             GROUP BY l.nbr, r.nbr
+        """,
+        "q_asof_join": """
+            WITH clicks AS (
+                SELECT event_id, user_id, ts FROM events
+                WHERE event_type = 'click'
+            ),
+            views AS (
+                SELECT user_id, ts AS vts, MAX(event_id) AS view_id
+                FROM events WHERE event_type = 'view'
+                GROUP BY user_id, ts
+            )
+            SELECT c.event_id, c.user_id, c.ts,
+                   v.vts AS vts_r, v.view_id AS view_id_r
+            FROM clicks c
+            ASOF LEFT JOIN views v
+              ON c.user_id = v.user_id AND v.vts <= c.ts
+        """,
+        "q_range_join": """
+            WITH clicks AS (
+                SELECT event_id AS click_id, user_id, ts FROM events
+                WHERE event_type = 'click'
+            ),
+            errors AS (
+                SELECT event_id AS error_id, user_id, ts AS lo,
+                       ts + INTERVAL 6 HOUR AS hi
+                FROM events WHERE event_type = 'error'
+            )
+            SELECT c.click_id, e.error_id, c.user_id
+            FROM clicks c JOIN errors e
+              ON c.user_id = e.user_id AND e.lo <= c.ts AND c.ts < e.hi
         """,
         "q_resource_allocation": f"""
             WITH edges AS MATERIALIZED ({_EDGE_SQL_DERIVATION}),

@@ -89,6 +89,162 @@ def test_ppr_batch_resume_requires_checkpoint_dir(spark):
         ppr_batch(_graph(spark).sparkSession, _graph(spark), [0], resume=True)
 
 
+# --- temporal joins (round 5): as-of + binned range join ------------------
+
+
+def _events(spark, n=400, seed=17, users=12):
+    import datetime
+
+    rng = random.Random(seed)
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (
+            i,
+            base + datetime.timedelta(seconds=rng.randrange(0, 30 * 86400)),
+            rng.randrange(users),
+            rng.choice(["view", "click", "error"]),
+            round(rng.uniform(0, 100), 2),
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+
+
+def _py_asof(left_rows, right_rows, direction="backward", strict=False,
+             tolerance_sec=None):
+    """left/right: (id, key, ts). → {left_id: right_id | None}."""
+    out = {}
+    for lid, lk, lt in left_rows:
+        best = None
+        for rid, rk, rt in right_rows:
+            if rk != lk:
+                continue
+            if direction == "backward":
+                ok = rt < lt if strict else rt <= lt
+            else:
+                ok = rt > lt if strict else rt >= lt
+            if not ok:
+                continue
+            if tolerance_sec is not None and abs((lt - rt).total_seconds()) > tolerance_sec:
+                continue
+            if best is None:
+                best = (rid, rt)
+            elif direction == "backward" and (rt, rid) > (best[1], best[0]):
+                best = (rid, rt)
+            elif direction == "forward" and (rt, -rid) < (best[1], -best[0]):
+                best = (rid, rt)
+        out[lid] = best[0] if best else None
+    return out
+
+
+@pytest.mark.parametrize("direction,strict", [
+    ("backward", False), ("backward", True),
+    ("forward", False), ("forward", True),
+])
+def test_asof_join_matches_pure_python(spark, direction, strict):
+    from plwordnet_spark.temporal import asof_join
+
+    ev = _events(spark)
+    left = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    # dedupe right per (user, ts) to make tie-resolution deterministic
+    right = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", F.col("ts").alias("vts"))
+        .agg(F.max("event_id").alias("vid"))
+    )
+    got_rows = asof_join(
+        left, right, on="user_id", left_ts="ts", right_ts="vts",
+        direction=direction, strict=strict,
+    ).collect()
+    got = {r.event_id: r.vid_r for r in got_rows}
+
+    lrows = [(r.event_id, r.user_id, r.ts) for r in left.collect()]
+    rrows = [(r.vid, r.user_id, r.vts) for r in right.collect()]
+    want = _py_asof(lrows, rrows, direction=direction, strict=strict)
+    assert got == want
+
+
+def test_asof_join_tolerance(spark):
+    from plwordnet_spark.temporal import asof_join
+
+    ev = _events(spark, seed=18)
+    left = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    right = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", F.col("ts").alias("vts"))
+        .agg(F.max("event_id").alias("vid"))
+    )
+    tol = 6 * 3600.0
+    got = {
+        r.event_id: r.vid_r
+        for r in asof_join(
+            left, right, on="user_id", left_ts="ts", right_ts="vts",
+            tolerance_sec=tol,
+        ).collect()
+    }
+    lrows = [(r.event_id, r.user_id, r.ts) for r in left.collect()]
+    rrows = [(r.vid, r.user_id, r.vts) for r in right.collect()]
+    want = _py_asof(lrows, rrows, tolerance_sec=tol)
+    assert got == want
+    assert any(v is None for v in got.values())  # tolerance actually bites
+
+
+def test_range_join_bins_matches_inequality_join(spark):
+    """Binned equi-join must equal the literal inequality join for any
+    bin width; half-open boundary semantics included."""
+    from plwordnet_spark.temporal import range_join_bins
+
+    ev = _events(spark, seed=19)
+    points = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("pid"), "user_id", "ts"
+    )
+    iv = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("iid"),
+        "user_id",
+        F.col("ts").alias("lo"),
+        (F.col("ts") + F.expr("INTERVAL 12 HOURS")).alias("hi"),
+    )
+    want = {
+        (r.pid, r.iid)
+        for r in points.join(iv, "user_id")
+        .filter((F.col("lo") <= F.col("ts")) & (F.col("ts") < F.col("hi")))
+        .collect()
+    }
+    assert want  # non-trivial
+    for width in (1800.0, 3600.0, 7 * 3600.0):
+        got = {
+            (r.pid, r.iid)
+            for r in range_join_bins(
+                points, iv, point_col="ts", lo_col="lo", hi_col="hi",
+                on="user_id", bin_width_sec=width,
+            ).collect()
+        }
+        assert got == want, width
+
+
+def test_range_join_bins_guard_rejects_pathological_interval(spark):
+    from plwordnet_spark.temporal import range_join_bins
+
+    ev = _events(spark, n=50, seed=20)
+    points = ev.select(F.col("event_id").alias("pid"), "user_id", "ts")
+    iv = ev.limit(5).select(
+        F.col("event_id").alias("iid"), "user_id",
+        F.col("ts").alias("lo"),
+        (F.col("ts") + F.expr("INTERVAL 30 DAYS")).alias("hi"),
+    )
+    with pytest.raises(Exception, match="max_bins_per_interval"):
+        range_join_bins(
+            points, iv, point_col="ts", lo_col="lo", hi_col="hi",
+            on="user_id", bin_width_sec=60.0, max_bins_per_interval=100,
+        ).count()
+
+
 # --- new link-prediction indices (round 5) --------------------------------
 
 

@@ -189,6 +189,32 @@ def main() -> int:
     )
     drop_table(spark, "audit_emb_by_id")
 
+    # 9. binned range join: the point-in-interval join must plan as a
+    #    hash EQUI-join on (key, _bin) — never the
+    #    BroadcastNestedLoopJoin Spark produces for a raw temporal
+    #    inequality predicate (O(points × intervals), driver-bounded)
+    from plwordnet_spark.temporal import range_join_bins
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pts = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("pid"), "user_id", "ts"
+    )
+    iv = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("iid"), "user_id",
+        F.col("ts").alias("lo"),
+        (F.col("ts") + F.expr("INTERVAL 6 HOURS")).alias("hi"),
+    )
+    rplan2 = plan_of(
+        range_join_bins(pts, iv, point_col="ts", lo_col="lo", hi_col="hi",
+                        on="user_id", bin_width_sec=6 * 3600.0)
+    )
+    check(
+        "range join plans as hash equi-join on (key, bin), no nested loop",
+        "BroadcastNestedLoopJoin" not in rplan2
+        and ("BroadcastHashJoin" in rplan2 or "SortMergeJoin" in rplan2
+             or "ShuffledHashJoin" in rplan2),
+    )
+
     print()
     print("=== sample plans ===")
     for title, p in (("pushdown", plan), ("gather", gplan)):
