@@ -412,6 +412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_jaccard_linkpred": lambda s, d: _q_jaccard_linkpred(s, d),
         "q_asof_join": lambda s, d: _q_asof_join(s, d),
         "q_range_join": lambda s, d: _q_range_join(s, d),
+        "q_random_walks": lambda s, d: _q_random_walks(s, d),
         "q_ppr_batch": lambda s, d: _q_ppr_batch(s, d),
     }
 
@@ -476,6 +477,25 @@ def _q_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     # silently diverge this contract query from its SQL
     return adamic_adar(edges, max_degree=10_000).select(
         "a", "b", F.round("score", 6).alias("score")
+    )
+
+
+def _q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted random walks (graph/walks.py — the
+    DeepWalk corpus primitive): 2 walks × 6 hops from every node of the
+    weighted mod-211 graph. The mod-p congruential sampler makes the
+    node SEQUENCES (not just their distribution) engine-independent, so
+    the DuckDB oracle replays the identical walks with a recursive CTE
+    over the same per-src CDF."""
+    from plwordnet_spark.graph.walks import random_walks
+
+    edges = _derived_weighted_edges(spark, sf_dir)
+    res = random_walks(spark, edges, walk_length=6, walks_per_node=2, seed=5)
+    return res.select(
+        "start",
+        F.col("walk").cast("long").alias("walk"),
+        F.col("step").cast("long").alias("step"),
+        "node",
     )
 
 
@@ -1917,6 +1937,48 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(1.0 / LN(l.deg_z)), 6) AS score
             FROM nz l JOIN nz r ON l.z = r.z AND l.nbr < r.nbr
             GROUP BY l.nbr, r.nbr
+        """,
+        "q_random_walks": f"""
+            WITH RECURSIVE edges AS MATERIALIZED (
+                {_WEIGHTED_EDGE_SQL_DERIVATION}
+            ),
+            cdf AS MATERIALIZED (
+                SELECT src, dst,
+                       (SUM(w) OVER (PARTITION BY src ORDER BY dst) - w)
+                         / SUM(w) OVER (PARTITION BY src) AS cdf_lo,
+                       SUM(w) OVER (PARTITION BY src ORDER BY dst)
+                         / SUM(w) OVER (PARTITION BY src) AS cdf_hi
+                FROM edges
+            ),
+            starts AS (SELECT DISTINCT src AS start FROM edges),
+            -- u(start, walk, step): the engine's mod-p congruential
+            -- sampler (graph/walks.py walk_u_expr), seed=5 ->
+            -- (5*104729 + 12345) % 1000003 = 535990
+            walk(start, walk, step, node) AS (
+                SELECT start, k.walk, CAST(0 AS BIGINT), start
+                FROM starts,
+                     (SELECT UNNEST(range(2)) AS walk) k
+                UNION ALL
+                SELECT w.start, w.walk, w.step + 1, c.dst
+                FROM walk w
+                JOIN cdf c ON c.src = w.node
+                WHERE w.step < 6
+                  AND c.cdf_lo <= CAST((((
+                        (w.start % 1000003) * 743177
+                        + (w.walk * 15485863) % 1000003
+                        + ((w.step + 1) * 499979) % 1000003
+                        + 535990
+                      ) % 1000003) * 499979 + 12345) % 1000003 AS DOUBLE)
+                      / 1000003
+                  AND CAST((((
+                        (w.start % 1000003) * 743177
+                        + (w.walk * 15485863) % 1000003
+                        + ((w.step + 1) * 499979) % 1000003
+                        + 535990
+                      ) % 1000003) * 499979 + 12345) % 1000003 AS DOUBLE)
+                      / 1000003 < c.cdf_hi
+            )
+            SELECT start, walk, step, node FROM walk
         """,
         "q_asof_join": """
             WITH clicks AS (

@@ -89,6 +89,98 @@ def test_ppr_batch_resume_requires_checkpoint_dir(spark):
         ppr_batch(_graph(spark).sparkSession, _graph(spark), [0], resume=True)
 
 
+# --- deterministic random walks (round 5) ---------------------------------
+
+
+def _py_walks(rows, L, W, seed):
+    """Pure-Python replay of random_walks' sampler + CDF."""
+    from collections import defaultdict
+
+    from plwordnet_spark.graph.walks import _C, _P, _R1, _R2, _R3, _R4
+
+    agg = defaultdict(float)
+    for s, d, w in rows:
+        agg[(s, d)] += w
+    nbrs = defaultdict(list)
+    for (s, d), w in sorted(agg.items()):
+        nbrs[s].append((d, w))
+    cdf = {}
+    for s, lst in nbrs.items():
+        tot = sum(w for _, w in lst)
+        c, spans = 0.0, []
+        for d, w in lst:
+            c += w
+            spans.append((d, (c - w) / tot, c / tot))
+        cdf[s] = spans
+
+    def u_of(start, walk, step):
+        h = (
+            (start % _P) * _R1
+            + (walk * _R4) % _P
+            + (step * _R2) % _P
+            + (seed * _R3 + _C) % _P
+        ) % _P
+        return ((h * _R2 + _C) % _P) / _P
+
+    want = set()
+    for start in sorted(nbrs):
+        for k in range(W):
+            node = start
+            want.add((start, k, 0, node))
+            for step in range(1, L + 1):
+                if node not in cdf:
+                    break
+                u = u_of(start, k, step)
+                node = next(d for d, lo, hi in cdf[node] if lo <= u < hi)
+                want.add((start, k, step, node))
+    return want
+
+
+def test_random_walks_match_pure_python_and_partitioning(spark):
+    from plwordnet_spark.graph.walks import random_walks
+
+    rng = random.Random(7)
+    rows = [
+        (rng.randrange(40), rng.randrange(40), float(rng.randrange(1, 4)))
+        for _ in range(200)
+    ]
+    rows = [r for r in rows if r[0] != r[1]]
+    edges = spark.createDataFrame(rows, "src long, dst long, weight double")
+    want = _py_walks(rows, L=5, W=2, seed=99)
+
+    res = random_walks(spark, edges, walk_length=5, walks_per_node=2, seed=99)
+    got = {(r.start, r.walk, r.step, r.node) for r in res.collect()}
+    assert got == want
+
+    # partitioning must not change a single sampled hop
+    res2 = random_walks(
+        spark, edges.repartition(13), walk_length=5, walks_per_node=2, seed=99
+    )
+    assert {(r.start, r.walk, r.step, r.node) for r in res2.collect()} == want
+
+
+def test_random_walks_dangling_stop_and_weight_bias(spark):
+    from plwordnet_spark.graph.walks import random_walks
+
+    # 0 -> {1 (w 99), 2 (w 1)}; 1 and 2 are dangling
+    edges = spark.createDataFrame(
+        [(0, 1, 99.0), (0, 2, 1.0)], "src long, dst long, weight double"
+    )
+    res = random_walks(
+        spark, edges, walk_length=4, walks_per_node=64, seed=3
+    ).collect()
+    by_step = {}
+    for r in res:
+        by_step.setdefault(r.step, []).append(r.node)
+    # walks stop after one hop (both destinations dangle)
+    assert set(by_step) == {0, 1}
+    assert len(by_step[0]) == 64
+    # ~99% of mass should pick node 1
+    picks = by_step[1]
+    assert len(picks) == 64
+    assert picks.count(1) >= 58
+
+
 # --- temporal joins (round 5): as-of + binned range join ------------------
 
 
