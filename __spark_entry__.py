@@ -363,6 +363,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_synonymy_cliques": lambda s, d: _q_synonymy_cliques(s, d),
         # --- graph with SQL oracles ---
         "q_triangle_count": lambda s, d: _q_triangle_count(s, d),
+        "q_clustering_coeff": lambda s, d: _q_clustering_coeff(s, d),
+        "q_degree_histogram": lambda s, d: _q_degree_histogram(s, d),
         "q_connected_components": lambda s, d: _q_connected_components(s, d),
         # --- graph rows-only (iterative; golden-tested in tests/) ---
         "q_pagerank_top": lambda s, d: _q_pagerank_top(s, d),
@@ -745,6 +747,20 @@ def _q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _derived_edges(spark, sf_dir)
     n = triangle_count(edges)
     return spark.createDataFrame([(n,)], "n_triangles long")
+
+
+def _q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from plwordnet_spark.graph.triangles import clustering_coefficient
+
+    edges = _derived_edges(spark, sf_dir)
+    return clustering_coefficient(edges)
+
+
+def _q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from plwordnet_spark.graph.stats import degree_distribution
+
+    edges = _derived_edges(spark, sf_dir)
+    return degree_distribution(edges)
 
 
 def _q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1838,6 +1854,59 @@ def oracle_sql() -> dict[str, str]:
             FROM und e1
             JOIN und e2 ON e1.b = e2.a
             JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+        """,
+        "q_clustering_coeff": f"""
+            WITH edges AS ({_EDGE_SQL_DERIVATION}),
+            und AS (
+                SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+                FROM edges
+            ),
+            deg AS (
+                SELECT id, CAST(count(*) AS BIGINT) AS degree
+                FROM (SELECT a AS id FROM und UNION ALL SELECT b FROM und)
+                GROUP BY id
+            ),
+            tri AS (
+                SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                FROM und e1
+                JOIN und e2 ON e1.b = e2.a
+                JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+            ),
+            tpn AS (
+                SELECT id, CAST(count(*) AS BIGINT) AS triangles
+                FROM (
+                    SELECT x AS id FROM tri
+                    UNION ALL SELECT y FROM tri
+                    UNION ALL SELECT z FROM tri
+                )
+                GROUP BY id
+            )
+            SELECT d.id, d.degree,
+                   CAST(COALESCE(t.triangles, 0) AS BIGINT) AS triangles,
+                   CASE WHEN d.degree < 2 THEN 0.0
+                        ELSE (COALESCE(t.triangles, 0) * 2.0)
+                             / (d.degree * (d.degree - 1))
+                   END AS coeff
+            FROM deg d LEFT JOIN tpn t ON d.id = t.id
+        """,
+        "q_degree_histogram": f"""
+            WITH edges_all AS (
+                SELECT CAST(l_orderkey % 211 AS BIGINT) AS src,
+                       CAST(l_partkey % 211 AS BIGINT) AS dst
+                FROM lineitem
+                WHERE l_orderkey % 211 <> l_partkey % 211
+            ),
+            ded AS (SELECT DISTINCT src, dst FROM edges_all),
+            tagged AS (
+                SELECT 'out' AS direction, CAST(count(*) AS BIGINT) AS degree
+                FROM ded GROUP BY src
+                UNION ALL
+                SELECT 'in' AS direction, CAST(count(*) AS BIGINT) AS degree
+                FROM ded GROUP BY dst
+            )
+            SELECT direction, degree, CAST(count(*) AS BIGINT) AS n_nodes
+            FROM tagged
+            GROUP BY direction, degree
         """,
         "q_connected_components": f"""
             WITH RECURSIVE edges AS ({_EDGE_SQL_DERIVATION}),

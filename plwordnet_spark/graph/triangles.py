@@ -19,7 +19,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["triangle_count", "triangles_per_node", "canonical_undirected"]
+__all__ = [
+    "triangle_count",
+    "triangles_per_node",
+    "clustering_coefficient",
+    "canonical_undirected",
+]
 
 
 def canonical_undirected(edges: DataFrame) -> DataFrame:
@@ -90,3 +95,43 @@ def triangles_per_node(edges: DataFrame) -> DataFrame:
         .unionAll(tri.select(F.col("z").alias("id")))
     )
     return exploded.groupBy("id").agg(F.count(F.lit(1)).alias("triangles"))
+
+
+def clustering_coefficient(edges: DataFrame) -> DataFrame:
+    """(id, degree, triangles, coeff) — local clustering coefficient
+    over the simple undirected graph: coeff = 2·T(v) / (deg·(deg−1)),
+    0.0 for degree-1 vertices. The web-graph reading: how tightly a
+    page's link neighborhood closes on itself (1.0 = clique, 0.0 =
+    star), the per-node refinement of the global triangle count the
+    reference's cohesion checks use (reference graph stats:
+    plwordnet_handler/base/structure/graph.py).
+
+    Scale shape: one triangle listing (degree-oriented, O(m^1.5) work
+    bounded per wedge center by O(√m)) + one degree aggregate + one
+    left join — no new shuffles beyond ``triangles_per_node``. Both
+    numerator and denominator are exact integers, so the single IEEE
+    division is bit-identical across engines (DuckDB-oracle-safe
+    without rounding).
+    """
+    und = canonical_undirected(edges)
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .unionAll(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    tri = triangles_per_node(edges)
+    return (
+        deg.join(tri, "id", "left")
+        .select(
+            "id",
+            "degree",
+            F.coalesce("triangles", F.lit(0)).alias("triangles"),
+            F.when(F.col("degree") < 2, F.lit(0.0))
+            .otherwise(
+                (F.coalesce("triangles", F.lit(0)) * F.lit(2.0))
+                / (F.col("degree") * (F.col("degree") - F.lit(1)))
+            )
+            .alias("coeff"),
+        )
+    )

@@ -174,6 +174,55 @@ def test_triangles_exact(spark, graphs):
             assert per_node.get(int(node), 0) == cnt, (name, node)
 
 
+def test_clustering_coefficient_matches_networkx(spark, graphs):
+    from plwordnet_spark.graph.triangles import clustering_coefficient
+
+    for name, g in graphs:
+        und = nx.Graph(g)
+        und.remove_edges_from(nx.selfloop_edges(und))
+        if und.number_of_edges() == 0:
+            continue
+        edges = _edges_df(spark, g.edges())
+        got = {r.id: (r.degree, r.triangles, r.coeff)
+               for r in clustering_coefficient(edges).collect()}
+        expected = nx.clustering(und)
+        # rows exist exactly for vertices touching >=1 non-loop edge
+        assert set(got) == {int(n) for n in und.nodes() if und.degree(n) > 0}, name
+        for node, cc in expected.items():
+            if int(node) not in got:
+                continue
+            deg, tri, coeff = got[int(node)]
+            assert deg == und.degree(node), (name, node)
+            assert abs(coeff - cc) < 1e-12, (name, node, coeff, cc)
+
+
+def test_degree_distribution_exact(spark, graphs):
+    from plwordnet_spark.graph.stats import degree_distribution, degrees
+
+    for name, g in graphs:
+        if g.number_of_edges() == 0:
+            continue
+        edges = _edges_df(spark, g.edges())
+        rows = degree_distribution(edges).collect()
+        got = {(r.direction, r.degree): r.n_nodes for r in rows}
+        from collections import Counter
+
+        out_c = Counter(d for _, d in g.out_degree() if d > 0)
+        in_c = Counter(d for _, d in g.in_degree() if d > 0)
+        expected = {("out", k): v for k, v in out_c.items()}
+        expected.update({("in", k): v for k, v in in_c.items()})
+        assert got == expected, name
+
+        per_node = {r.id: (r.out_degree, r.in_degree)
+                    for r in degrees(edges).collect()}
+        for n in g.nodes():
+            od, ind = g.out_degree(n), g.in_degree(n)
+            if od == 0 and ind == 0:
+                assert int(n) not in per_node, (name, n)
+            else:
+                assert per_node[int(n)] == (od, ind), (name, n)
+
+
 def test_pregel_checkpoint_and_resume(spark, tmp_path):
     """Kill-after-k/resume equivalence (SURVEY.md §5.2 #6)."""
     g = nx.gnp_random_graph(60, 0.05, seed=SEED, directed=True)
