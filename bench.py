@@ -589,19 +589,76 @@ def main() -> None:
     pages.unpersist()
     tables.edges.unpersist()
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "bench_total_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "reps": REPS,
-                **detail,
-            }
-        )
+
+    # Full per-row detail (rep arrays, skew decompositions, ingest
+    # breakdown, ...) goes to a file; stdout carries ONE compact JSON
+    # line. The driver records only the tail of stdout (observed
+    # 2000-char window — the r4 line outgrew it and BENCH_r04.json
+    # came back "parsed": null), so the printed line is hard-capped.
+    full = {
+        "metric": "bench_total_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "reps": REPS,
+        **detail,
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH", "detail_last.json"
     )
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(full, f, indent=1)
+    except OSError:
+        detail_path = None  # read-only checkout: compact line still prints
+
+    pl = detail.get("point_lookups", {})
+    ing = detail.get("ingest_stream", {})
+    headline = {
+        "edges": n_edges,
+        "pr_eps": detail.get("pagerank", {}).get("edges_per_sec"),
+        "pr_big_eips": detail.get("pagerank_big", {}).get("edge_iters_per_sec"),
+        "pr_big_csr_eips": detail.get("pagerank_big", {}).get("csr_edge_iters_per_sec"),
+        "bfs_big_reached": detail.get("bfs_big", {}).get("reached"),
+        "skew_unsalted_eips": detail.get("pagerank_skew", {}).get(
+            "unsalted_edge_iters_per_sec"
+        ),
+        "skew_salted_eips": detail.get("pagerank_skew", {}).get(
+            "salted_edge_iters_per_sec"
+        ),
+        "srcskew_plain_eips": detail.get("pagerank_srcskew", {}).get(
+            "plain_edge_iters_per_sec"
+        ),
+        "srcskew_split_eips": detail.get("pagerank_srcskew", {}).get(
+            "split_edge_iters_per_sec"
+        ),
+        "lookup_loop_ps": pl.get("sequential_lookups_per_sec"),
+        "lookup_batch_rps": pl.get("batch_key_join_rows_per_sec"),
+        "lookup_bucketed_ps": pl.get("bucketed_lookups_per_sec"),
+        "ref_lookup_ps": pl.get("reference_lookups_per_sec"),
+        "stream_over_batch": ing.get("stream_over_batch"),
+        "stream_minus_floor_over_batch": ing.get("stream_minus_floor_over_batch"),
+        "triangles": detail.get("triangles"),
+        "minhash_dup_pairs": detail.get("minhash", {}).get("dup_pairs"),
+    }
+    headline = {k: v for k, v in headline.items() if v is not None}
+    compact = {
+        "metric": "bench_total_seconds",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "reps": REPS,
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "headline": headline,
+        "detail_file": "BENCH/detail_last.json" if detail_path else None,
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    while len(line) > 1900 and headline:  # belt-and-braces size guard
+        headline.popitem()
+        compact["headline"] = headline
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
     spark.stop()
 
 
