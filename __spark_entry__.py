@@ -366,11 +366,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_clustering_coeff": lambda s, d: _q_clustering_coeff(s, d),
         "q_degree_histogram": lambda s, d: _q_degree_histogram(s, d),
         "q_connected_components": lambda s, d: _q_connected_components(s, d),
+        "q_reciprocity": lambda s, d: _q_reciprocity(s, d),
+        "q_assortativity": lambda s, d: _q_assortativity(s, d),
+        "q_scc": lambda s, d: _q_scc(s, d),
+        "q_bowtie": lambda s, d: _q_bowtie(s, d),
         # --- graph rows-only (iterative; golden-tested in tests/) ---
         "q_pagerank_top": lambda s, d: _q_pagerank_top(s, d),
         "q_pagerank_weighted": lambda s, d: _q_pagerank_weighted(s, d),
         "q_pagerank_personalized": lambda s, d: _q_pagerank_personalized(s, d),
         "q_label_propagation": lambda s, d: _q_label_propagation(s, d),
+        "q_anf_hll": lambda s, d: _q_anf_hll(s, d),
         "q_minhash_dup_pairs": lambda s, d: _q_minhash_pairs(s, d),
         "q_simhash_near_dup": lambda s, d: _q_simhash(s, d),
         "q_embedding_near_dup": lambda s, d: _q_embedding_near_dup(s, d),
@@ -769,6 +774,70 @@ def _q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _derived_edges(spark, sf_dir)
     res = connected_components(spark, edges, method="two-phase")
     return res.state.select("id", "component")
+
+
+# Sparser derived graph for macro-structure queries: the mod-211 graph
+# saturates at sf0.01 (near-complete digraph — bow-tie trivially all
+# CORE, assortativity variance ~0). mod 499 + the l_linenumber=1 /
+# orderkey%7 thinning keeps avg degree ~4: giant SCC plus real
+# IN/OUT/TENDRIL fringe at every sf.
+_STRUCT_EDGE_SQL = """
+    SELECT DISTINCT
+        CAST(l_orderkey % 499 AS BIGINT) AS src,
+        CAST(l_partkey % 499 AS BIGINT) AS dst
+    FROM lineitem
+    WHERE l_linenumber = 1 AND l_orderkey % 7 = 0
+      AND l_orderkey % 499 <> l_partkey % 499
+"""
+
+
+def _struct_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter((F.col("l_linenumber") == 1) & (F.col("l_orderkey") % 7 == 0))
+        .select(
+            (F.col("l_orderkey") % 499).cast("long").alias("src"),
+            (F.col("l_partkey") % 499).cast("long").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _q_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from plwordnet_spark.graph.structure import reciprocity
+
+    return reciprocity(_struct_edges(spark, sf_dir))
+
+
+def _q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from plwordnet_spark.graph.structure import degree_assortativity
+
+    return degree_assortativity(_struct_edges(spark, sf_dir))
+
+
+def _q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from plwordnet_spark.graph.structure import strongly_connected_components
+
+    return strongly_connected_components(spark, _struct_edges(spark, sf_dir))
+
+
+def _q_bowtie(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from plwordnet_spark.graph.structure import bowtie
+
+    return bowtie(spark, _struct_edges(spark, sf_dir))
+
+
+def _q_anf_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperBall neighborhood function — sketch-approximate, so no SQL
+    oracle (rows-only driver check); exactness vs BFS ball counts is
+    pytest-verified in tests/test_structure.py."""
+    from plwordnet_spark.graph.structure import neighborhood_function
+
+    res = neighborhood_function(
+        spark, _struct_edges(spark, sf_dir), max_distance=16, lg_k=12
+    )
+    return res.counts
 
 
 _PR_ITERS = 30  # fixed power-iteration count: engine and SQL oracle run
@@ -1924,6 +1993,128 @@ def oracle_sql() -> dict[str, str]:
                 WHERE reach.comp < und.u
             )
             SELECT id, MIN(comp) AS component FROM reach GROUP BY id
+        """,
+        "q_reciprocity": f"""
+            WITH edges AS ({_STRUCT_EDGE_SQL}),
+            recip AS (
+                SELECT e.src, e.dst
+                FROM edges e
+                WHERE EXISTS (
+                    SELECT 1 FROM edges r
+                    WHERE r.src = e.dst AND r.dst = e.src
+                )
+            )
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges,
+                   (SELECT CAST(count(*) AS BIGINT) FROM recip) AS n_reciprocal,
+                   ROUND((SELECT count(*) FROM recip) * 1.0
+                         / (SELECT count(*) FROM edges), 8) AS reciprocity
+        """,
+        "q_assortativity": f"""
+            WITH edges AS ({_STRUCT_EDGE_SQL}),
+            out_deg AS (
+                SELECT src AS id, CAST(count(*) AS BIGINT) AS out_degree
+                FROM edges GROUP BY src
+            ),
+            in_deg AS (
+                SELECT dst AS id, CAST(count(*) AS BIGINT) AS in_degree
+                FROM edges GROUP BY dst
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_edges,
+                   ROUND(corr(o.out_degree, i.in_degree), 6) AS assortativity
+            FROM edges e
+            JOIN out_deg o ON e.src = o.id
+            JOIN in_deg i ON e.dst = i.id
+        """,
+        "q_scc": f"""
+            WITH RECURSIVE edges AS ({_STRUCT_EDGE_SQL}),
+            nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+            reach(a, b) AS (
+                SELECT src, dst FROM edges
+                UNION
+                SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+            ),
+            mutual AS (
+                SELECT r1.a AS v, r1.b AS u
+                FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+            )
+            SELECT n.id,
+                   CAST(LEAST(n.id, COALESCE(MIN(m.u), n.id)) AS BIGINT)
+                       AS component
+            FROM nodes n LEFT JOIN mutual m ON m.v = n.id
+            GROUP BY n.id
+        """,
+        "q_bowtie": f"""
+            WITH RECURSIVE edges AS ({_STRUCT_EDGE_SQL}),
+            nodes AS (
+                -- explicit DISTINCT: inside WITH RECURSIVE this DuckDB
+                -- build does not dedup a plain UNION in a non-recursive
+                -- CTE, and the final SELECT has no GROUP BY to mask it
+                SELECT DISTINCT id FROM (
+                    SELECT src AS id FROM edges
+                    UNION ALL SELECT dst FROM edges
+                )
+            ),
+            reach(a, b) AS (
+                SELECT src, dst FROM edges
+                UNION
+                SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+            ),
+            mutual AS (
+                SELECT r1.a AS v, r1.b AS u
+                FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+            ),
+            scc AS (
+                SELECT n.id,
+                       LEAST(n.id, COALESCE(MIN(m.u), n.id)) AS component
+                FROM nodes n LEFT JOIN mutual m ON m.v = n.id
+                GROUP BY n.id
+            ),
+            core_comp AS (
+                SELECT component FROM scc
+                GROUP BY component
+                ORDER BY count(*) DESC, component ASC
+                LIMIT 1
+            ),
+            core_ids AS (
+                SELECT id FROM scc
+                WHERE component = (SELECT component FROM core_comp)
+            ),
+            sym AS (
+                SELECT src AS a, dst AS b FROM edges
+                UNION SELECT dst, src FROM edges
+            ),
+            ureach(a, b) AS (
+                SELECT a, b FROM sym
+                UNION
+                SELECT r.a, s.b FROM ureach r JOIN sym s ON r.b = s.a
+            ),
+            wcc AS (
+                SELECT n.id, LEAST(n.id, COALESCE(MIN(r.b), n.id)) AS comp
+                FROM nodes n LEFT JOIN ureach r ON r.a = n.id
+                GROUP BY n.id
+            ),
+            core_wcc AS (
+                SELECT comp FROM wcc
+                WHERE id = (SELECT MIN(id) FROM core_ids)
+            ),
+            fwd AS (
+                SELECT DISTINCT r.b AS id
+                FROM reach r JOIN core_ids c ON r.a = c.id
+            ),
+            bwd AS (
+                SELECT DISTINCT r.a AS id
+                FROM reach r JOIN core_ids c ON r.b = c.id
+            )
+            SELECT n.id,
+                   CASE
+                       WHEN n.id IN (SELECT id FROM core_ids) THEN 'CORE'
+                       WHEN (SELECT comp FROM wcc w WHERE w.id = n.id)
+                            <> (SELECT comp FROM core_wcc) THEN 'DISCONNECTED'
+                       WHEN n.id IN (SELECT id FROM bwd) THEN 'IN'
+                       WHEN n.id IN (SELECT id FROM fwd) THEN 'OUT'
+                       ELSE 'TENDRIL'
+                   END AS region
+            FROM nodes n
         """,
         "q_weighted_mean_pool": """
             SELECT label, CAST(pos AS INTEGER) AS pos,
