@@ -358,6 +358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .agg(F.round(F.avg("x"), 6).alias("mean_x"))
         ),
         "q_cosine_topk": lambda s, d: _q_cosine_topk(s, d),
+        "q_ivf_topk": lambda s, d: _q_ivf_topk(s, d),
         # --- relation expansion (J2/J3 ★) with SQL oracles ---
         "q_group_expansion": lambda s, d: _q_group_expansion(s, d),
         "q_synonymy_cliques": lambda s, d: _q_synonymy_cliques(s, d),
@@ -698,6 +699,28 @@ def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vec_id").alias("query_id"), "embedding")
     )
     return cosine_topk(emb, qs, k=10).select(
+        "query_id", "vec_id", F.round("sim", 4).alias("sim"), "rank"
+    )
+
+
+def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF_FLAT ANN (vectors/ivf.py) probed at nprobe = n_centroids:
+    the full IVF plan (quantizer train → bucket assign → probe shortlist
+    → bucket join → rerank) runs, and full probe makes the result
+    provably equal to brute-force cosine — which is what the SQL oracle
+    computes. Partial-probe recall is pytest-verified (tests/test_ivf.py)."""
+    from plwordnet_spark.vectors.ivf import IvfIndex, ivf_assign, ivf_topk, kmeans_centroids
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    qs = (
+        emb.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 10))
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    cents = kmeans_centroids(emb, n_centroids=8, max_iters=3)
+    index = IvfIndex(centroids=cents, corpus=ivf_assign(emb, cents))
+    return ivf_topk(index, qs, k=5, nprobe=8).select(
         "query_id", "vec_id", F.round("sim", 4).alias("sim"), "rank"
     )
 
@@ -1891,6 +1914,27 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, vec_id, ROUND(s, 4) AS sim, rank
             FROM ranked WHERE rank <= 10
+        """,
+        "q_ivf_topk": """
+            WITH q AS (
+                SELECT vec_id AS query_id,
+                       CAST(embedding AS DOUBLE[]) AS qv
+                FROM embeddings WHERE vec_id >= 5 AND vec_id < 10
+            ),
+            scored AS (
+                SELECT q.query_id, e.vec_id,
+                       list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS s
+                FROM embeddings e CROSS JOIN q
+            ),
+            ranked AS (
+                SELECT query_id, vec_id, s,
+                       CAST(row_number() OVER (
+                           PARTITION BY query_id ORDER BY s DESC, vec_id
+                       ) AS INTEGER) AS rank
+                FROM scored
+            )
+            SELECT query_id, vec_id, ROUND(s, 4) AS sim, rank
+            FROM ranked WHERE rank <= 5
         """,
         "q_group_expansion": """
             WITH group_rels AS (
