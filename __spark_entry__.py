@@ -338,6 +338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 ).cast("long").alias("n_tokens"),
             )
         ),
+        "q_pmi_bigrams": lambda s, d: _q_pmi_bigrams(s, d),
         "q_events_hourly": lambda s, d: (
             _t(s, d, "events")
             .groupBy(
@@ -701,6 +702,15 @@ def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, qs, k=10).select(
         "query_id", "vec_id", F.round("sim", 4).alias("sim"), "rank"
     )
+
+
+def _q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI-scored adjacent bigrams (textops/collocations.py) over the
+    documents corpus — the MWE-discovery signal behind the reference's
+    multiword lexical units."""
+    from plwordnet_spark.textops.collocations import pmi_bigrams
+
+    return pmi_bigrams(_t(spark, sf_dir, "documents"), min_count=5)
 
 
 def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1876,6 +1886,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(list_filter(string_split_regex(text, '\\s+'),
                                         w -> length(w) > 0)) AS BIGINT) AS n_tokens
             FROM documents
+        """,
+        "q_pmi_bigrams": """
+            WITH toks AS (
+                SELECT list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                   w -> length(w) > 0) AS ws
+                FROM documents
+            ),
+            toks2 AS (SELECT ws FROM toks WHERE len(ws) > 0),
+            uni AS (
+                SELECT w, count(*) AS n
+                FROM (SELECT unnest(ws) AS w FROM toks2) GROUP BY w
+            ),
+            pairs AS (
+                SELECT ws[pos + 1] AS w1, ws[pos + 2] AS w2
+                FROM (SELECT ws, unnest(range(len(ws) - 1)) AS pos
+                      FROM toks2 WHERE len(ws) >= 2)
+            ),
+            big AS (
+                SELECT w1, w2, CAST(count(*) AS BIGINT) AS n12
+                FROM pairs GROUP BY w1, w2 HAVING count(*) >= 5
+            ),
+            tot AS (
+                SELECT (SELECT SUM(n) FROM uni) AS N,
+                       (SELECT count(*) FROM pairs) AS B
+            )
+            SELECT b.w1, b.w2, b.n12,
+                   ROUND(log2((b.n12 / t.B) /
+                              ((u1.n / t.N) * (u2.n / t.N))), 6) AS pmi
+            FROM big b
+            JOIN uni u1 ON u1.w = b.w1
+            JOIN uni u2 ON u2.w = b.w2
+            CROSS JOIN tot t
         """,
         "q_events_hourly": """
             SELECT date_trunc('hour', ts) AS hour, event_type,

@@ -539,3 +539,47 @@ def test_compaction_base_sketch_is_metadata_union(spark, tmp_path):
     merged, _ = log.latest()
     exact = merged.count()
     assert abs(log.approx_distinct_edges() - exact) / exact < 0.05
+
+
+def test_pmi_bigrams_matches_pure_python(spark):
+    """PMI bigrams vs an exhaustive pure-Python count over the same
+    tokenization (lower, trim, \\s+ split)."""
+    import math
+    from collections import Counter
+
+    from plwordnet_spark.textops.collocations import pmi_bigrams
+
+    texts = [
+        "new york is a big city",
+        "New York  has a   harbor",
+        "the city of new york",
+        "a harbor city",
+        "",
+        "   ",
+        "york",
+    ]
+    docs = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = {
+        (r["w1"], r["w2"]): (r["n12"], r["pmi"])
+        for r in pmi_bigrams(docs, min_count=2).collect()
+    }
+
+    uni, big = Counter(), Counter()
+    n_pairs = 0
+    for t in texts:
+        ws = t.strip().lower().split()
+        uni.update(ws)
+        for a, b in zip(ws, ws[1:]):
+            big[(a, b)] += 1
+            n_pairs += 1
+    N = sum(uni.values())
+    want = {
+        (a, b): (n, round(math.log2((n / n_pairs) / ((uni[a] / N) * (uni[b] / N))), 6))
+        for (a, b), n in big.items()
+        if n >= 2
+    }
+    assert ("new", "york") in want and want[("new", "york")][0] == 3
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0]
+        assert abs(got[k][1] - want[k][1]) < 1e-9
