@@ -339,6 +339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         ),
         "q_pmi_bigrams": lambda s, d: _q_pmi_bigrams(s, d),
+        "q_tfidf_topk": lambda s, d: _q_tfidf_topk(s, d),
         "q_events_hourly": lambda s, d: (
             _t(s, d, "events")
             .groupBy(
@@ -711,6 +712,14 @@ def _q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     from plwordnet_spark.textops.collocations import pmi_bigrams
 
     return pmi_bigrams(_t(spark, sf_dir, "documents"), min_count=5)
+
+
+def _q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed TF-IDF top-3 terms per document (textops/tfidf.py):
+    the 'what is this page about' primitive feeding quality filters."""
+    from plwordnet_spark.textops.tfidf import tfidf_top_terms
+
+    return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
 
 
 def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1918,6 +1927,35 @@ def oracle_sql() -> dict[str, str]:
             JOIN uni u1 ON u1.w = b.w1
             JOIN uni u2 ON u2.w = b.w2
             CROSS JOIN tot t
+        """,
+        "q_tfidf_topk": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                          w -> length(w) > 0)) AS term
+                FROM documents
+            ),
+            tf AS (
+                SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                FROM toks GROUP BY doc_id, term
+            ),
+            docfreq AS (
+                SELECT term, count(*) AS df FROM tf GROUP BY term
+            ),
+            n AS (SELECT count(*) AS N FROM documents),
+            scored AS (
+                SELECT tf.doc_id, tf.term, tf.tf,
+                       tf.tf * (ln((n.N + 1.0) / (docfreq.df + 1.0)) + 1.0) AS score_raw
+                FROM tf JOIN docfreq USING (term) CROSS JOIN n
+            ),
+            ranked AS (
+                SELECT doc_id, term, tf, score_raw,
+                       CAST(row_number() OVER (PARTITION BY doc_id
+                             ORDER BY score_raw DESC, term) AS INTEGER) AS rank
+                FROM scored
+            )
+            SELECT doc_id, term, tf, ROUND(score_raw, 6) AS score, rank
+            FROM ranked WHERE rank <= 3
         """,
         "q_events_hourly": """
             SELECT date_trunc('hour', ts) AS hour, event_type,

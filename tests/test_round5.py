@@ -583,3 +583,45 @@ def test_pmi_bigrams_matches_pure_python(spark):
     for k in want:
         assert got[k][0] == want[k][0]
         assert abs(got[k][1] - want[k][1]) < 1e-9
+
+
+def test_tfidf_top_terms_matches_pure_python(spark):
+    """tfidf_top_terms vs an exhaustive pure-Python sklearn-smoothed
+    TF-IDF over the same tokenization, including tie-break by term."""
+    import math
+    from collections import Counter
+
+    from plwordnet_spark.textops.tfidf import tfidf_top_terms
+
+    texts = {
+        0: "spark spark shuffle join",
+        1: "join join join scan",
+        2: "spark scan scan",
+        3: "",
+        4: "unique",
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_id"], r["rank"]): (r["term"], r["tf"], r["score"])
+        for r in tfidf_top_terms(docs, k=2).collect()
+    }
+
+    N = len(texts)
+    tf = {i: Counter(t.strip().lower().split()) for i, t in texts.items()}
+    df = Counter(w for c in tf.values() for w in c)
+    want = {}
+    for i, c in tf.items():
+        scored = sorted(
+            ((w, n, n * (math.log((N + 1) / (df[w] + 1)) + 1)) for w, n in c.items()),
+            key=lambda x: (-x[2], x[0]),
+        )
+        for rank, (w, n, s) in enumerate(scored[:2], start=1):
+            want[(i, rank)] = (w, n, round(s, 6))
+    assert set(got) == set(want)
+    for key in want:
+        assert got[key][0] == want[key][0]
+        assert got[key][1] == want[key][1]
+        assert abs(got[key][2] - want[key][2]) < 1e-9
+    assert (3, 1) not in got  # empty doc contributes no rows
