@@ -375,6 +375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bowtie": lambda s, d: _q_bowtie(s, d),
         # --- graph rows-only (iterative; golden-tested in tests/) ---
         "q_pagerank_top": lambda s, d: _q_pagerank_top(s, d),
+        "q_katz": lambda s, d: _q_katz(s, d),
         "q_pagerank_weighted": lambda s, d: _q_pagerank_weighted(s, d),
         "q_pagerank_personalized": lambda s, d: _q_pagerank_personalized(s, d),
         "q_label_propagation": lambda s, d: _q_label_propagation(s, d),
@@ -885,8 +886,28 @@ def _q_anf_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PR_ITERS = 30  # fixed power-iteration count: engine and SQL oracle run
 # exactly the same K so per-vertex ranks match to the 8-decimal rounding
 _LPA_ITERS = 5
+_KATZ_ITERS = 15  # fixed-k Katz: engine and unrolled SQL oracle run the
+# same K so per-vertex scores match to the 8-decimal rounding
+_KATZ_ALPHA = 0.05
 _EMB_DIM = 64  # driver testdata embedding width (all sf dirs)
 _DUP_THRESHOLD = 0.8  # exact-Jaccard near-dup bar shared by both sides
+
+
+def _q_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-k Katz centrality (graph/katz.py) on the modded-key graph;
+    the oracle unrolls the same K gather steps in SQL."""
+    from plwordnet_spark.graph.katz import katz_centrality
+
+    res = katz_centrality(
+        spark,
+        _derived_edges(spark, sf_dir),
+        alpha=_KATZ_ALPHA,
+        beta=1.0,
+        tol=0.0,
+        max_iterations=_KATZ_ITERS,
+        normalize=True,
+    )
+    return res.state.select("id", F.round("katz", 8).alias("katz"))
 
 
 def _q_pagerank_top(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1361,6 +1382,35 @@ def _pagerank_oracle_sql(
             f"GROUP BY e.dst) g ON {anchor}.id = g.id)"
         )
     return ",\n".join(parts) + f"\nSELECT id, ROUND(rank, 8) AS rank FROM r{k}"
+
+
+def _katz_oracle_sql(
+    k: int = _KATZ_ITERS, alpha: float = _KATZ_ALPHA, beta: float = 1.0
+) -> str:
+    """Unrolled fixed-k Katz iteration: x_{t+1} = alpha*A^T x_t + beta,
+    L2-normalized at the end (engine semantics, graph/katz.py). Same
+    AS MATERIALIZED discipline as _pagerank_oracle_sql."""
+    parts = [
+        f"WITH edges AS MATERIALIZED ({_EDGE_SQL_DERIVATION})",
+        "ids AS MATERIALIZED (SELECT src AS id FROM edges UNION SELECT dst FROM edges)",
+        f"r0 AS MATERIALIZED (SELECT id, CAST({beta} AS DOUBLE) AS katz FROM ids)",
+    ]
+    for i in range(k):
+        parts.append(
+            f"r{i + 1} AS MATERIALIZED (SELECT ids.id, "
+            f"{alpha} * COALESCE(g.inc, 0.0) + {beta} AS katz "
+            f"FROM ids LEFT JOIN ("
+            f"SELECT e.dst AS id, SUM(r.katz) AS inc "
+            f"FROM edges e JOIN r{i} r ON r.id = e.src "
+            f"GROUP BY e.dst) g ON ids.id = g.id)"
+        )
+    parts.append(
+        f"norm AS MATERIALIZED (SELECT SQRT(SUM(katz*katz)) AS n2 FROM r{k})"
+    )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT id, ROUND(katz / (SELECT n2 FROM norm), 8) AS katz FROM r{k}"
+    )
 
 
 def _ppr_batch_oracle_sql(
@@ -2252,6 +2302,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
         """,
         "q_pagerank_top": _pagerank_oracle_sql(),
+        "q_katz": _katz_oracle_sql(),
         "q_pagerank_weighted": _pagerank_oracle_sql(weighted=True),
         "q_pagerank_personalized": _pagerank_oracle_sql(personalized=True),
         "q_label_propagation": _lpa_oracle_sql(),

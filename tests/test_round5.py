@@ -625,3 +625,54 @@ def test_tfidf_top_terms_matches_pure_python(spark):
         assert got[key][1] == want[key][1]
         assert abs(got[key][2] - want[key][2]) < 1e-9
     assert (3, 1) not in got  # empty doc contributes no rows
+
+
+def test_katz_centrality_matches_numpy(spark):
+    """Fixed-k Katz vs a dense numpy replay of x_{t+1} = a*A^T x + b,
+    L2-normalized; and normalize=False returns the raw series."""
+    import numpy as np
+
+    from plwordnet_spark.graph.katz import katz_centrality
+
+    rng = np.random.RandomState(7)
+    n = 40
+    pairs = {(int(a), int(b)) for a, b in rng.randint(0, n, size=(160, 2)) if a != b}
+    edges = spark.createDataFrame(sorted(pairs), "src long, dst long")
+
+    res = katz_centrality(spark, edges, alpha=0.08, beta=1.0, tol=0.0,
+                          max_iterations=12, normalize=True)
+    got = {r["id"]: r["katz"] for r in res.state.collect()}
+
+    ids = sorted({a for a, _ in pairs} | {b for _, b in pairs})
+    idx = {v: i for i, v in enumerate(ids)}
+    A = np.zeros((len(ids), len(ids)))
+    for a, b in pairs:
+        A[idx[a], idx[b]] = 1.0
+    x = np.ones(len(ids))
+    for _ in range(12):
+        x = 0.08 * A.T @ x + 1.0
+    x = x / np.sqrt((x ** 2).sum())
+    assert set(got) == set(ids)
+    for v in ids:
+        assert abs(got[v] - x[idx[v]]) < 1e-9
+
+    raw = katz_centrality(spark, edges, alpha=0.08, beta=1.0, tol=0.0,
+                          max_iterations=12, normalize=False)
+    raw_min = min(r["katz"] for r in raw.state.collect())
+    assert raw_min >= 1.0  # beta floor: every vertex keeps the additive term
+
+
+def test_katz_convergence_and_guards(spark):
+    """tol>0 stops before max_iterations on a small damped graph; alpha
+    outside (0,1) is rejected."""
+    import pytest as _pytest
+
+    from plwordnet_spark.graph.katz import katz_centrality
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (2, 3)], "src long, dst long"
+    )
+    res = katz_centrality(spark, edges, alpha=0.1, tol=1e-10, max_iterations=60)
+    assert res.converged and res.iterations < 60
+    with _pytest.raises(ValueError):
+        katz_centrality(spark, edges, alpha=1.5)
