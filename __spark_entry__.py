@@ -376,6 +376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- graph rows-only (iterative; golden-tested in tests/) ---
         "q_pagerank_top": lambda s, d: _q_pagerank_top(s, d),
         "q_katz": lambda s, d: _q_katz(s, d),
+        "q_ktruss": lambda s, d: _q_ktruss(s, d),
         "q_pagerank_weighted": lambda s, d: _q_pagerank_weighted(s, d),
         "q_pagerank_personalized": lambda s, d: _q_pagerank_personalized(s, d),
         "q_label_propagation": lambda s, d: _q_label_propagation(s, d),
@@ -889,6 +890,13 @@ _LPA_ITERS = 5
 _KATZ_ITERS = 15  # fixed-k Katz: engine and unrolled SQL oracle run the
 # same K so per-vertex scores match to the 8-decimal rounding
 _KATZ_ALPHA = 0.05
+_TRUSS_K = 5
+_TRUSS_MOD = 1511  # sparser modded graph than _derived_edges: at sf0.01
+# k=5 peeling takes 17 real rounds (58,414 -> 144 edges); peeling is
+# idempotent at fixpoint, so the oracle's fixed 20-round unroll replays
+# the engine's run-to-convergence exactly (measured rounds: sf0.001=3,
+# sf0.01=17, sf0.1=1 — all < _TRUSS_UNROLL)
+_TRUSS_UNROLL = 20
 _EMB_DIM = 64  # driver testdata embedding width (all sf dirs)
 _DUP_THRESHOLD = 0.8  # exact-Jaccard near-dup bar shared by both sides
 
@@ -908,6 +916,19 @@ def _q_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
         normalize=True,
     )
     return res.state.select("id", F.round("katz", 8).alias("katz"))
+
+
+def _q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-truss cohesive core (graph/truss.py) on a sparser modded-key
+    graph; the oracle unrolls 20 idempotent peel rounds in SQL."""
+    from plwordnet_spark.graph.truss import ktruss
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        (F.col("l_orderkey") % _TRUSS_MOD).cast("long").alias("src"),
+        (F.col("l_partkey") % _TRUSS_MOD).cast("long").alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    return ktruss(spark, edges, k=_TRUSS_K)
 
 
 def _q_pagerank_top(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1382,6 +1403,41 @@ def _pagerank_oracle_sql(
             f"GROUP BY e.dst) g ON {anchor}.id = g.id)"
         )
     return ",\n".join(parts) + f"\nSELECT id, ROUND(rank, 8) AS rank FROM r{k}"
+
+
+def _ktruss_oracle_sql(
+    k: int = _TRUSS_K, mod: int = _TRUSS_MOD, rounds: int = _TRUSS_UNROLL
+) -> str:
+    """Fixed-unroll k-truss peel: each round enumerates triangles on the
+    surviving canonical edge set (id-ordered wedge join — fine at oracle
+    scale; the engine uses the degree-oriented join for hub skew),
+    counts per-edge support, and keeps support >= k-2. Peeling is
+    idempotent at fixpoint, so rounds > the true peel depth are no-ops
+    and the unrolled result equals the engine's to-convergence truss.
+    AS MATERIALIZED per the _pagerank_oracle_sql precedent."""
+    parts = [
+        "WITH e0 AS MATERIALIZED ("
+        f"SELECT DISTINCT CAST(least(l_orderkey % {mod}, l_partkey % {mod}) AS BIGINT) AS a, "
+        f"CAST(greatest(l_orderkey % {mod}, l_partkey % {mod}) AS BIGINT) AS b "
+        f"FROM lineitem WHERE l_orderkey % {mod} <> l_partkey % {mod})"
+    ]
+    for i in range(rounds):
+        parts.append(
+            f"t{i} AS MATERIALIZED (SELECT e1.a AS x, e1.b AS y, e2.b AS z "
+            f"FROM e{i} e1 JOIN e{i} e2 ON e1.a = e2.a AND e1.b < e2.b "
+            f"JOIN e{i} e3 ON e3.a = e1.b AND e3.b = e2.b)"
+        )
+        parts.append(
+            f"s{i} AS MATERIALIZED (SELECT a, b, count(*) AS s FROM ("
+            f"SELECT x AS a, y AS b FROM t{i} "
+            f"UNION ALL SELECT x, z FROM t{i} "
+            f"UNION ALL SELECT y, z FROM t{i}) GROUP BY a, b)"
+        )
+        parts.append(
+            f"e{i + 1} AS MATERIALIZED (SELECT e.a, e.b FROM e{i} e "
+            f"JOIN s{i} s ON e.a = s.a AND e.b = s.b WHERE s.s >= {k - 2})"
+        )
+    return ",\n".join(parts) + f"\nSELECT a, b FROM e{rounds}"
 
 
 def _katz_oracle_sql(
@@ -2303,6 +2359,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_pagerank_top": _pagerank_oracle_sql(),
         "q_katz": _katz_oracle_sql(),
+        "q_ktruss": _ktruss_oracle_sql(),
         "q_pagerank_weighted": _pagerank_oracle_sql(weighted=True),
         "q_pagerank_personalized": _pagerank_oracle_sql(personalized=True),
         "q_label_propagation": _lpa_oracle_sql(),

@@ -676,3 +676,45 @@ def test_katz_convergence_and_guards(spark):
     assert res.converged and res.iterations < 60
     with _pytest.raises(ValueError):
         katz_centrality(spark, edges, alpha=1.5)
+
+
+def test_ktruss_matches_pure_python_peeling(spark):
+    """ktruss vs an exhaustive pure-Python peel on a random graph, for
+    k=3..5; plus guards (k<3 rejected; empty truss on a triangle-free
+    graph)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from plwordnet_spark.graph.truss import ktruss
+
+    rng = np.random.RandomState(11)
+    pairs = {
+        (int(min(a, b)), int(max(a, b)))
+        for a, b in rng.randint(0, 30, size=(220, 2))
+        if a != b
+    }
+    edges = spark.createDataFrame(sorted(pairs), "src long, dst long")
+
+    def py_truss(es, k):
+        es = set(es)
+        while True:
+            adj = {}
+            for a, b in es:
+                adj.setdefault(a, set()).add(b)
+                adj.setdefault(b, set()).add(a)
+            sup = {
+                (a, b): len(adj[a] & adj[b]) for a, b in es
+            }
+            keep = {e for e in es if sup[e] >= k - 2}
+            if keep == es:
+                return es
+            es = keep
+
+    for k in (3, 4, 5):
+        got = {(r["a"], r["b"]) for r in ktruss(spark, edges, k).collect()}
+        assert got == py_truss(pairs, k), f"k={k}"
+
+    with _pytest.raises(ValueError):
+        ktruss(spark, edges, 2)
+    path = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], "src long, dst long")
+    assert ktruss(spark, path, 3).count() == 0
