@@ -398,6 +398,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sessionize": lambda s, d: _q_sessionize(s, d),
         # --- graph round-2 additions ---
         "q_bfs_distances": lambda s, d: _q_bfs_distances(s, d),
+        "q_harmonic_centrality": lambda s, d: _q_harmonic_centrality(s, d),
+        "q_closeness_centrality": lambda s, d: _q_closeness_centrality(s, d),
         "q_hits": lambda s, d: _q_hits(s, d),
         "q_kcore": lambda s, d: _q_kcore(s, d),
         "q_sssp": lambda s, d: _q_sssp(s, d),
@@ -1162,6 +1164,29 @@ def _q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.state.select("id")
 
 
+def _q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact harmonic centrality: ALL-sources composite BFS flood (one
+    Pregel loop shares every edge scan across the 211 sources); oracle is
+    an all-pairs recursive CTE. The same code path serves the sampled
+    (Eppstein-Wang) estimator at web scale."""
+    from plwordnet_spark.graph.centrality import harmonic_centrality
+
+    edges = _derived_edges(spark, sf_dir)
+    h = harmonic_centrality(spark, edges, directed=False)
+    return h.select("id", F.round("harmonic", 6).alias("harmonic"))
+
+
+def _q_closeness_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wasserman-Faust component-normalized closeness over the same
+    all-sources flood; exact integer distance sums feed one final
+    division, so the oracle matches bit-for-bit after rounding."""
+    from plwordnet_spark.graph.centrality import closeness_centrality
+
+    edges = _derived_edges(spark, sf_dir)
+    c = closeness_centrality(spark, edges, directed=False)
+    return c.select("id", F.round("closeness", 6).alias("closeness"))
+
+
 def _q_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-source unweighted shortest paths (undirected); oracle is a
     recursive CTE bounded by the node count."""
@@ -1609,6 +1634,63 @@ def _bfs_oracle_sql() -> str:
         SELECT i.id, MIN(r.d) AS dist
         FROM ids i LEFT JOIN reach r ON i.id = r.id
         GROUP BY i.id
+    """
+
+
+def _apsp_cte(depth_cap: int = 40) -> str:
+    """All-pairs hop distances on the derived 211-node graph: recursive
+    CTE seeded from EVERY node, MIN per (lm, id). depth_cap bounds the
+    recursion well above the graph's diameter (≤ a handful of hops on
+    this dense derivation at every sf)."""
+    return f"""
+        WITH RECURSIVE edges AS ({_EDGE_SQL_DERIVATION}),
+        und AS (
+            SELECT DISTINCT u, v FROM (
+                SELECT src AS u, dst AS v FROM edges
+                UNION ALL SELECT dst AS u, src AS v FROM edges
+            ) WHERE u <> v
+        ),
+        ids AS (
+            -- NOT `src UNION dst`: inside WITH RECURSIVE DuckDB applies
+            -- iterative UNION semantics to any CTE written as a bare
+            -- UNION, inflating the row count; a subquery-DISTINCT keeps
+            -- it a plain set
+            SELECT DISTINCT id FROM (
+                SELECT src AS id FROM edges
+                UNION ALL SELECT dst AS id FROM edges
+            )
+        ),
+        reach(lm, id, d) AS (
+            SELECT id, id, CAST(0 AS BIGINT) AS d FROM ids
+            UNION
+            SELECT reach.lm, und.v, reach.d + 1 FROM reach
+            JOIN und ON reach.id = und.u
+            WHERE reach.d < {depth_cap}
+        ),
+        mind AS (SELECT lm, id, MIN(d) AS d FROM reach GROUP BY lm, id)
+    """
+
+
+def _harmonic_oracle_sql() -> str:
+    return f"""
+        {_apsp_cte()}
+        SELECT id, ROUND(SUM(1.0 / d), 6) AS harmonic
+        FROM mind WHERE d > 0 GROUP BY id
+    """
+
+
+def _closeness_oracle_sql() -> str:
+    return f"""
+        {_apsp_cte()},
+        n AS (SELECT COUNT(*) AS n_nodes FROM ids),
+        agg AS (
+            SELECT id, SUM(d) AS total_dist, COUNT(*) AS r1
+            FROM mind WHERE d > 0 GROUP BY id
+        )
+        SELECT id,
+               ROUND((CAST(r1 AS DOUBLE) * r1)
+                     / (total_dist * (n_nodes - 1.0)), 6) AS closeness
+        FROM agg, n
     """
 
 
@@ -2579,6 +2661,8 @@ def oracle_sql() -> dict[str, str]:
             HAVING COUNT(*) >= 2
         """,
         "q_bfs_distances": _bfs_oracle_sql(),
+        "q_harmonic_centrality": _harmonic_oracle_sql(),
+        "q_closeness_centrality": _closeness_oracle_sql(),
         "q_landmark_distances": f"""
             WITH RECURSIVE edges AS ({_EDGE_SQL_DERIVATION}),
             und AS (

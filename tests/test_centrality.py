@@ -1,0 +1,99 @@
+"""Harmonic / closeness centrality vs networkx (round 5).
+
+Exact mode (all-sources composite BFS) must match networkx on random
+graphs including disconnected ones; sampled mode must equal exact
+restricted to the sampled sources (it is the same job shape).
+"""
+
+from __future__ import annotations
+
+import networkx as nx
+import numpy as np
+import pytest
+
+from plwordnet_spark.graph.centrality import (
+    closeness_centrality,
+    harmonic_centrality,
+)
+
+
+def _random_edges(spark, seed=7, n=40, m=120):
+    rng = np.random.RandomState(seed)
+    pairs = {
+        (int(a), int(b))
+        for a, b in rng.randint(0, n, size=(m, 2))
+        if a != b
+    }
+    return spark.createDataFrame(sorted(pairs), "src long, dst long"), pairs
+
+
+def test_harmonic_matches_networkx_undirected(spark):
+    edges, pairs = _random_edges(spark)
+    g = nx.Graph(list(pairs))
+    want = nx.harmonic_centrality(g)
+    got = {r["id"]: r["harmonic"] for r in harmonic_centrality(spark, edges).collect()}
+    assert set(got) == {k for k, v in want.items() if v > 0}
+    for k, v in got.items():
+        assert abs(v - want[k]) < 1e-9, k
+
+
+def test_harmonic_matches_networkx_directed(spark):
+    edges, pairs = _random_edges(spark, seed=11)
+    g = nx.DiGraph(list(pairs))
+    # networkx harmonic uses INCOMING distances d(u, v); our directed
+    # flood follows edge direction from each source, giving exactly that
+    want = nx.harmonic_centrality(g)
+    got = {
+        r["id"]: r["harmonic"]
+        for r in harmonic_centrality(spark, edges, directed=True).collect()
+    }
+    for k, v in got.items():
+        assert abs(v - want[k]) < 1e-9, k
+    # nodes with zero harmonic (no in-paths) are simply absent
+    assert all(want.get(k, 0) == 0 for k in set(want) - set(got))
+
+
+def test_closeness_matches_networkx_disconnected(spark):
+    # two components: a path and a triangle
+    edge_list = [(0, 1), (1, 2), (2, 3), (10, 11), (11, 12), (12, 10)]
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    g = nx.Graph(edge_list)
+    want = nx.closeness_centrality(g, wf_improved=True)
+    got = {
+        r["id"]: r["closeness"]
+        for r in closeness_centrality(spark, edges).collect()
+    }
+    for k, v in got.items():
+        assert abs(v - want[k]) < 1e-9, k
+
+
+def test_sampled_sources_equal_exact_restriction(spark):
+    edges, pairs = _random_edges(spark, seed=13)
+    g = nx.Graph(list(pairs))
+    sample = [0, 3, 9, 17]
+    got = {
+        r["id"]: r["harmonic"]
+        for r in harmonic_centrality(spark, edges, sources=sample).collect()
+    }
+    for node, val in got.items():
+        want = sum(
+            1.0 / nx.shortest_path_length(g, s, node)
+            for s in sample
+            if s != node and nx.has_path(g, s, node)
+        )
+        assert abs(val - want) < 1e-9, node
+
+
+def test_harmonic_scale_factor(spark):
+    edges, _ = _random_edges(spark, seed=17)
+    base = {
+        r["id"]: r["harmonic"]
+        for r in harmonic_centrality(spark, edges, sources=[0, 5]).collect()
+    }
+    scaled = {
+        r["id"]: r["harmonic"]
+        for r in harmonic_centrality(spark, edges, sources=[0, 5], scale=3.0).collect()
+    }
+    assert scaled.keys() == base.keys()
+    for k in base:
+        assert abs(scaled[k] - 3.0 * base[k]) < 1e-9
