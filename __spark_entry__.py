@@ -399,6 +399,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- graph round-2 additions ---
         "q_bfs_distances": lambda s, d: _q_bfs_distances(s, d),
         "q_harmonic_centrality": lambda s, d: _q_harmonic_centrality(s, d),
+        "q_host_graph": lambda s, d: _q_host_graph(s, d),
+        "q_intra_host_ratio": lambda s, d: _q_intra_host_ratio(s, d),
         "q_closeness_centrality": lambda s, d: _q_closeness_centrality(s, d),
         "q_hits": lambda s, d: _q_hits(s, d),
         "q_kcore": lambda s, d: _q_kcore(s, d),
@@ -1162,6 +1164,53 @@ def _q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     res = k_core(spark, edges, k=_KCORE_K, max_iterations=_KCORE_ROUNDS)
     return res.state.select("id")
+
+
+def _host_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic (id, host) map over the derived graph's node set —
+    the SQL-expressible stand-in for host_of(url) so the oracle can
+    derive the identical mapping."""
+    edges = _derived_edges(spark, sf_dir)
+    ids = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    return ids.select(
+        "id", F.concat(F.lit("h"), (F.col("id") % 23).cast("string")).alias("host")
+    )
+
+
+_HOST_MAP_SQL = """
+        SELECT id, 'h' || CAST(id % 23 AS VARCHAR) AS host
+        FROM (
+            SELECT DISTINCT id FROM (
+                SELECT src AS id FROM edges
+                UNION ALL SELECT dst AS id FROM edges
+            )
+        )
+"""
+
+
+def _q_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page graph → weighted host graph (the Common-Crawl host-rank
+    projection): two id→host joins + one partial-agg groupBy."""
+    from plwordnet_spark.graph.hostgraph import project_to_hosts
+
+    edges = _derived_edges(spark, sf_dir)
+    return project_to_hosts(edges, _host_map(spark, sf_dir))
+
+
+def _q_intra_host_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nepotistic-link ratio per host (Davison-style link-farm signal)."""
+    from plwordnet_spark.graph.hostgraph import intra_host_ratio
+
+    edges = _derived_edges(spark, sf_dir)
+    r = intra_host_ratio(edges, _host_map(spark, sf_dir))
+    return r.select(
+        "src_host", "n_intra", "n_total",
+        F.round("intra_ratio", 6).alias("intra_ratio"),
+    )
 
 
 def _q_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2662,6 +2711,35 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_bfs_distances": _bfs_oracle_sql(),
         "q_harmonic_centrality": _harmonic_oracle_sql(),
+        "q_host_graph": f"""
+            WITH edges AS ({_EDGE_SQL_DERIVATION}),
+            nh AS ({_HOST_MAP_SQL})
+            SELECT s.host AS src_host, d.host AS dst_host,
+                   CAST(COUNT(*) AS DOUBLE) AS weight
+            FROM edges e
+            JOIN nh s ON e.src = s.id
+            JOIN nh d ON e.dst = d.id
+            GROUP BY s.host, d.host
+        """,
+        "q_intra_host_ratio": f"""
+            WITH edges AS ({_EDGE_SQL_DERIVATION}),
+            nh AS ({_HOST_MAP_SQL}),
+            hg AS (
+                SELECT s.host AS src_host, d.host AS dst_host,
+                       CAST(COUNT(*) AS DOUBLE) AS weight
+                FROM edges e
+                JOIN nh s ON e.src = s.id
+                JOIN nh d ON e.dst = d.id
+                GROUP BY s.host, d.host
+            )
+            SELECT src_host,
+                   SUM(CASE WHEN src_host = dst_host THEN weight ELSE 0.0 END)
+                       AS n_intra,
+                   SUM(weight) AS n_total,
+                   ROUND(SUM(CASE WHEN src_host = dst_host THEN weight
+                             ELSE 0.0 END) / SUM(weight), 6) AS intra_ratio
+            FROM hg GROUP BY src_host
+        """,
         "q_closeness_centrality": _closeness_oracle_sql(),
         "q_landmark_distances": f"""
             WITH RECURSIVE edges AS ({_EDGE_SQL_DERIVATION}),
