@@ -375,6 +375,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bowtie": lambda s, d: _q_bowtie(s, d),
         # --- graph rows-only (iterative; golden-tested in tests/) ---
         "q_pagerank_top": lambda s, d: _q_pagerank_top(s, d),
+        "q_spam_mass": lambda s, d: _q_spam_mass(s, d),
+        "q_redirect_resolve": lambda s, d: _q_redirect_resolve(s, d),
+        "q_anchor_topk": lambda s, d: _q_anchor_topk(s, d),
         "q_katz": lambda s, d: _q_katz(s, d),
         "q_ktruss": lambda s, d: _q_ktruss(s, d),
         "q_pagerank_weighted": lambda s, d: _q_pagerank_weighted(s, d),
@@ -1964,6 +1967,182 @@ def _lsh_topk_oracle() -> str:
     """
 
 
+_SPAM_SEED_MOD = 7  # trusted whitelist = node ids divisible by 7
+
+
+def _q_spam_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TrustRank spam mass (graph/trustrank.py): uniform PageRank and
+    seed-teleport TrustRank share one cached edge table; spam_mass =
+    (pr - tr)/pr per vertex."""
+    from plwordnet_spark.graph.trustrank import spam_mass
+
+    edges = _derived_edges(spark, sf_dir)
+    ids = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    seeds = ids.filter(F.col("id") % _SPAM_SEED_MOD == 0)
+    res = spam_mass(
+        spark, edges, seeds, tol=0.0, max_iterations=_PR_ITERS, weighted=False
+    )
+    return res.state.select(
+        "id",
+        F.round("pr", 8).alias("pr"),
+        F.round("tr", 8).alias("tr"),
+        F.round("spam_mass", 8).alias("spam_mass"),
+    )
+
+
+def _spam_mass_oracle_sql(k: int = _PR_ITERS, alpha: float = 0.85) -> str:
+    """Two unrolled fixed-k power-iteration chains over ONE edge CTE —
+    uniform-teleport (u-prefix) and trusted-seed (t-prefix, ids % 7 = 0)
+    — joined at the end for spam mass. Same AS MATERIALIZED and
+    per-term-float discipline as _pagerank_oracle_sql."""
+    parts = [
+        f"WITH edges AS MATERIALIZED ({_EDGE_SQL_DERIVATION})",
+        "ids AS MATERIALIZED (SELECT src AS id FROM edges UNION SELECT dst FROM edges)",
+        "outd AS MATERIALIZED (SELECT src AS id, CAST(count(*) AS DOUBLE) AS od "
+        "FROM edges GROUP BY src)",
+        "nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM ids)",
+        # uniform chain init
+        "ur0 AS MATERIALIZED (SELECT id, 1.0/(SELECT n FROM nn) AS rank FROM ids)",
+        # trusted-seed teleport vector + init
+        f"sk AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS k FROM ids "
+        f"WHERE id % {_SPAM_SEED_MOD} = 0)",
+        f"sv AS MATERIALIZED (SELECT id, CASE WHEN id % {_SPAM_SEED_MOD} = 0 "
+        "THEN 1.0/(SELECT k FROM sk) ELSE 0.0 END AS p FROM ids)",
+        "tr0 AS MATERIALIZED (SELECT id, p AS rank FROM sv)",
+    ]
+    gather = (
+        "SELECT e.dst AS id, SUM(r.rank * (1.0/o.od)) AS inc "
+        "FROM edges e JOIN outd o ON e.src = o.id JOIN {prev} r ON r.id = e.src "
+        "GROUP BY e.dst"
+    )
+    for i in range(k):
+        parts.append(
+            f"ud{i} AS MATERIALIZED (SELECT COALESCE(SUM(r.rank), 0.0) AS dm "
+            f"FROM ur{i} r LEFT JOIN outd o ON r.id = o.id WHERE o.id IS NULL)"
+        )
+        parts.append(
+            f"ur{i + 1} AS MATERIALIZED (SELECT ids.id, "
+            f"((1.0 - {alpha})/(SELECT n FROM nn) "
+            f"+ {alpha}*(SELECT dm FROM ud{i})/(SELECT n FROM nn)) "
+            f"+ {alpha} * COALESCE(g.inc, 0.0) AS rank "
+            f"FROM ids LEFT JOIN ({gather.format(prev=f'ur{i}')}) g ON ids.id = g.id)"
+        )
+        parts.append(
+            f"td{i} AS MATERIALIZED (SELECT COALESCE(SUM(r.rank), 0.0) AS dm "
+            f"FROM tr{i} r LEFT JOIN outd o ON r.id = o.id WHERE o.id IS NULL)"
+        )
+        parts.append(
+            f"tr{i + 1} AS MATERIALIZED (SELECT sv.id, "
+            f"sv.p * ((1.0 - {alpha}) + {alpha}*(SELECT dm FROM td{i})) "
+            f"+ {alpha} * COALESCE(g.inc, 0.0) AS rank "
+            f"FROM sv LEFT JOIN ({gather.format(prev=f'tr{i}')}) g ON sv.id = g.id)"
+        )
+    return ",\n".join(parts) + (
+        f"\nSELECT u.id, ROUND(u.rank, 8) AS pr, ROUND(t.rank, 8) AS tr, "
+        f"ROUND((u.rank - t.rank)/u.rank, 8) AS spam_mass "
+        f"FROM ur{k} u JOIN tr{k} t ON u.id = t.id"
+    )
+
+
+_REDIR_MOD = 997  # functional-graph residue ring for the redirect table
+
+
+def _redirect_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic functional graph: src = o_orderkey % 997 (only
+    non-multiples of 3 redirect — the rest are terminals), dst = min of
+    the affine image (functional by the min-collapse)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            (F.col("o_orderkey") % _REDIR_MOD).cast("long").alias("src"),
+            ((F.col("o_orderkey") * 31 + 7) % _REDIR_MOD).cast("long").alias("dst"),
+        )
+        .filter((F.col("src") != F.col("dst")) & (F.col("src") % 3 != 0))
+        .groupBy("src")
+        .agg(F.min("dst").alias("dst"))
+    )
+
+
+def _q_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointer-doubling redirect resolution (graph/chains.py): O(log L)
+    self-join rounds; loops flagged is_cycle, terminals carry exact
+    hops. Oracle: recursive CTE walking each chain with an n-hop cap."""
+    from plwordnet_spark.graph.chains import resolve_chains
+
+    res = resolve_chains(spark, _redirect_table(spark, sf_dir))
+    return res.state.select("src", "final_dst", "hops", "is_cycle")
+
+
+def _redirect_oracle_sql() -> str:
+    return f"""
+        WITH RECURSIVE redirects AS MATERIALIZED (
+            SELECT src, MIN(dst) AS dst FROM (
+                SELECT CAST(o_orderkey % {_REDIR_MOD} AS BIGINT) AS src,
+                       CAST((o_orderkey * 31 + 7) % {_REDIR_MOD} AS BIGINT) AS dst
+                FROM orders
+            ) WHERE src <> dst AND src % 3 <> 0
+            GROUP BY src
+        ),
+        nred AS MATERIALIZED (SELECT count(*) AS n FROM redirects),
+        walk(src, cur, hops) AS (
+            SELECT src, dst, CAST(1 AS BIGINT) FROM redirects
+            UNION ALL
+            SELECT w.src, r.dst, w.hops + 1
+            FROM walk w JOIN redirects r ON w.cur = r.src
+            WHERE w.hops <= (SELECT n FROM nred)
+        ),
+        term AS (
+            SELECT w.src, w.cur AS final_dst, w.hops
+            FROM walk w LEFT JOIN redirects r2 ON w.cur = r2.src
+            WHERE r2.src IS NULL
+        )
+        SELECT r.src, t.final_dst, t.hops, t.src IS NULL AS is_cycle
+        FROM redirects r LEFT JOIN term t ON r.src = t.src
+    """
+
+
+def _q_anchor_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-target anchor-term profile (graph/anchors.py): anchor text =
+    part names riding the lineitem link table (the real pipeline gets
+    (dst, anchor) from build_anchor_table's Arrow extraction — pytest
+    covers that path; this query oracle-checks the aggregation)."""
+    from plwordnet_spark.graph.anchors import anchor_term_topk
+
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    pairs = li.join(p, F.col("l_partkey") == F.col("p_partkey")).select(
+        (F.col("l_partkey") % 211).cast("long").alias("dst"),
+        F.col("p_name").alias("anchor"),
+    )
+    return anchor_term_topk(pairs, top_k=3, dst_col="dst", anchor_col="anchor")
+
+
+_ANCHOR_ORACLE_SQL = r"""
+    WITH terms AS (
+        SELECT dst, term FROM (
+            SELECT CAST(l_partkey % 211 AS BIGINT) AS dst,
+                   unnest(regexp_split_to_array(trim(lower(p_name)), '\s+')) AS term
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+        ) WHERE length(term) > 0
+    ),
+    counts AS (
+        SELECT dst, term, CAST(count(*) AS BIGINT) AS n
+        FROM terms GROUP BY dst, term
+    )
+    SELECT dst, term, n, rank FROM (
+        SELECT dst, term, n,
+               CAST(row_number() OVER (
+                   PARTITION BY dst ORDER BY n DESC, term
+               ) AS INTEGER) AS rank
+        FROM counts
+    ) WHERE rank <= 3
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "q_scan_filter_project": """
@@ -2489,6 +2668,9 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
         """,
         "q_pagerank_top": _pagerank_oracle_sql(),
+        "q_spam_mass": _spam_mass_oracle_sql(),
+        "q_redirect_resolve": _redirect_oracle_sql(),
+        "q_anchor_topk": _ANCHOR_ORACLE_SQL,
         "q_katz": _katz_oracle_sql(),
         "q_ktruss": _ktruss_oracle_sql(),
         "q_pagerank_weighted": _pagerank_oracle_sql(weighted=True),

@@ -219,6 +219,39 @@ def extract_links(html_text: str) -> list[str]:
     return out
 
 
+_ANCHOR_RE = re.compile(
+    r"""<a\s[^>]*?href\s*=\s*["']([^"']+)["'][^>]*>(.*?)</a\s*>""",
+    re.I | re.S,
+)
+
+
+def extract_anchors(html_text: str) -> list[tuple[str, str]]:
+    """(target_url, anchor_text) per navigational <a>…</a>, document
+    order, duplicates kept.
+
+    The anchor-text side of :func:`extract_links` — at web scale the
+    aggregated anchor text pointing AT a page is its best third-party
+    description (the classic use alongside the link graph). Target
+    normalization is byte-identical to ``extract_links``; the anchor
+    text is the tag's inner markup flattened the same way the page text
+    is (tags → space, entities unescaped, whitespace collapsed), so the
+    per-row invariant discipline (same code path in oracle and UDF)
+    carries over. Anchors whose href the normalizer drops (fragments,
+    mailto:, javascript:) are dropped with it; empty anchor text (image
+    links) survives as "".
+    """
+    out = []
+    for href, inner in _ANCHOR_RE.findall(html_text):
+        normalized = normalize_url(_htmllib.unescape(href))
+        if normalized is None:
+            continue
+        anchor = _TAG_RE.sub(" ", inner)
+        anchor = _htmllib.unescape(anchor)
+        anchor = re.sub(r"\s+", " ", anchor).strip()
+        out.append((normalized, anchor))
+    return out
+
+
 def html_to_flat_text(html_text: str) -> str:
     """Flatten HTML to an annotated text stream: script/style dropped,
     block-closing tags become newlines, other tags a space, entities

@@ -22,12 +22,23 @@ from pyspark.sql import types as T
 from plwordnet_spark.extraction import oracle
 
 __all__ = [
+    "ANCHOR_SCHEMA",
     "PARSED_PAGE_SCHEMA",
+    "extract_anchors_udf",
     "extract_links_udf",
     "extract_text_udf",
     "parse_page_udf",
     "parse_pages",
 ]
+
+ANCHOR_SCHEMA = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("anchor", T.StringType(), False),
+        ]
+    )
+)
 
 # Nested result schema — the ParsedComment analog (comment.py:74-109) as a
 # Spark StructType (SURVEY.md §1.1 "Nested parsed document").
@@ -82,6 +93,16 @@ def _decode(value) -> str:
 def extract_links_udf(html: pd.Series) -> pd.Series:
     """html binary → array<string> of normalized link targets."""
     return html.map(lambda h: oracle.extract_links(_decode(h)))
+
+
+@F.pandas_udf(ANCHOR_SCHEMA)
+def extract_anchors_udf(html: pd.Series) -> pd.Series:
+    """html binary → array<struct<url,anchor>> of (target, anchor text)."""
+    return html.map(
+        lambda h: [
+            {"url": u, "anchor": a} for u, a in oracle.extract_anchors(_decode(h))
+        ]
+    )
 
 
 @F.pandas_udf(T.StringType())
