@@ -378,6 +378,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_spam_mass": lambda s, d: _q_spam_mass(s, d),
         "q_redirect_resolve": lambda s, d: _q_redirect_resolve(s, d),
         "q_anchor_topk": lambda s, d: _q_anchor_topk(s, d),
+        "q_cocitation": lambda s, d: _q_cocitation(s, d),
+        "q_bib_coupling": lambda s, d: _q_bib_coupling(s, d),
+        "q_modularity": lambda s, d: _q_modularity(s, d),
+        "q_cohort_retention": lambda s, d: _q_cohort_retention(s, d),
         "q_katz": lambda s, d: _q_katz(s, d),
         "q_ktruss": lambda s, d: _q_ktruss(s, d),
         "q_pagerank_weighted": lambda s, d: _q_pagerank_weighted(s, d),
@@ -2143,6 +2147,105 @@ _ANCHOR_ORACLE_SQL = r"""
 """
 
 
+def _q_cocitation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-citation strength (graph/cocitation.py) on the sparse
+    struct-edges graph; two-path self-join through the shared SOURCE."""
+    from plwordnet_spark.graph.cocitation import cocitation
+
+    return cocitation(_struct_edges(spark, sf_dir), max_fanout=None)
+
+
+def _q_bib_coupling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bibliographic coupling (graph/cocitation.py): src pairs sharing
+    out-targets, two-path join through the shared TARGET."""
+    from plwordnet_spark.graph.cocitation import bibliographic_coupling
+
+    return bibliographic_coupling(_struct_edges(spark, sf_dir), max_fanout=None)
+
+
+def _two_path_oracle_sql(pivot: str, leaf: str) -> str:
+    return f"""
+        WITH edges AS MATERIALIZED ({_STRUCT_EDGE_SQL}),
+        pl AS MATERIALIZED (SELECT DISTINCT {pivot} AS p, {leaf} AS leaf FROM edges)
+        SELECT x.leaf AS a, y.leaf AS b, CAST(count(*) AS BIGINT) AS strength
+        FROM pl x JOIN pl y ON x.p = y.p AND x.leaf < y.leaf
+        GROUP BY x.leaf, y.leaf
+    """
+
+
+_MODULARITY_COMM_MOD = 5  # deterministic test partition: community = id % 5
+
+
+def _q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity (graph/stats.py) of the id%5 partition over the
+    derived graph — the community-quality gate for LPA/CC outputs."""
+    from plwordnet_spark.graph.stats import modularity
+
+    edges = _derived_edges(spark, sf_dir)
+    ids = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    comm = ids.select("id", (F.col("id") % _MODULARITY_COMM_MOD).alias("community"))
+    res = modularity(edges, comm)
+    return res.select(F.round("modularity", 8).alias("modularity"))
+
+
+_MODULARITY_ORACLE_SQL = f"""
+    WITH edges AS MATERIALIZED ({_EDGE_SQL_DERIVATION}),
+    und AS MATERIALIZED (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM edges WHERE src <> dst
+    ),
+    m AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM und),
+    intra AS (
+        SELECT CAST(count(*) AS DOUBLE) AS i FROM und
+        WHERE a % {_MODULARITY_COMM_MOD} = b % {_MODULARITY_COMM_MOD}
+    ),
+    deg AS (
+        SELECT c, CAST(count(*) AS DOUBLE) AS d FROM (
+            SELECT a % {_MODULARITY_COMM_MOD} AS c FROM und
+            UNION ALL
+            SELECT b % {_MODULARITY_COMM_MOD} AS c FROM und
+        ) GROUP BY c
+    ),
+    ss AS (
+        SELECT SUM(POW(d / (2.0 * (SELECT m FROM m)), 2)) AS s FROM deg
+    )
+    SELECT ROUND(
+        (SELECT i FROM intra) / (SELECT m FROM m) - (SELECT s FROM ss), 8
+    ) AS modularity
+"""
+
+
+def _q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention matrix (temporal.py) over the events
+    log — cohort = user's first active ISO week."""
+    from plwordnet_spark.temporal import cohort_retention
+
+    return cohort_retention(_t(spark, sf_dir, "events"), period="week")
+
+
+_COHORT_ORACLE_SQL = """
+    WITH active AS MATERIALIZED (
+        -- duckdb's date_trunc('week') yields DATE; Spark's yields
+        -- TIMESTAMP — cast for stringified-hash parity
+        SELECT DISTINCT user_id AS u,
+               CAST(date_trunc('week', ts) AS TIMESTAMP) AS p
+        FROM events
+    ),
+    first AS MATERIALIZED (
+        SELECT u, MIN(p) AS cohort_start FROM active GROUP BY u
+    )
+    SELECT cohort_start,
+           CAST(date_diff('day', cohort_start, p) / 7 AS INTEGER) AS period_offset,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM active JOIN first USING (u)
+    GROUP BY cohort_start, period_offset
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "q_scan_filter_project": """
@@ -2671,6 +2774,10 @@ def oracle_sql() -> dict[str, str]:
         "q_spam_mass": _spam_mass_oracle_sql(),
         "q_redirect_resolve": _redirect_oracle_sql(),
         "q_anchor_topk": _ANCHOR_ORACLE_SQL,
+        "q_cocitation": _two_path_oracle_sql("src", "dst"),
+        "q_bib_coupling": _two_path_oracle_sql("dst", "src"),
+        "q_modularity": _MODULARITY_ORACLE_SQL,
+        "q_cohort_retention": _COHORT_ORACLE_SQL,
         "q_katz": _katz_oracle_sql(),
         "q_ktruss": _ktruss_oracle_sql(),
         "q_pagerank_weighted": _pagerank_oracle_sql(weighted=True),

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["degree_distribution", "degrees"]
+__all__ = ["degree_distribution", "degrees", "modularity"]
 
 
 def degrees(edges: DataFrame) -> DataFrame:
@@ -61,4 +61,70 @@ def degree_distribution(edges: DataFrame) -> DataFrame:
     )
     return tagged.groupBy("direction", "degree").agg(
         F.count(F.lit(1)).alias("n_nodes")
+    )
+
+
+def modularity(edges: DataFrame, communities: DataFrame) -> DataFrame:
+    """Newman modularity Q of a partition over the undirected simple
+    graph — ONE row (modularity double).
+
+    Q = Σ_c [ e_c/m − (d_c/2m)² ] where, on the deduped undirected edge
+    set of m edges, e_c = edges with both endpoints in community c and
+    d_c = total degree of c's members (self-loops dropped with the
+    canonicalization, the networkx convention for simple graphs). The
+    quality gate for any community output (label propagation, CC on
+    similarity graphs): Q ≈ 0 means the partition explains nothing
+    beyond a random degree-preserving rewire.
+
+    ``communities``: (id, community). Vertices missing from it form
+    singleton communities implicitly — a singleton's e_c is 0 and its
+    (d_c/2m)² still counts, handled by the degree-side aggregation
+    keying on the coalesced label.
+
+    Scale shape: two broadcast-or-shuffle joins of the edge list
+    against the (id, community) map (rows ∝ nodes), then two scalar
+    aggregations — no quadratic term anywhere; the per-community
+    partials fold map-side."""
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    comm = communities.select(
+        F.col("id"), F.col("community").alias("c")
+    ).distinct()
+    # label each endpoint; unknown vertices become singleton communities
+    # under a '~<id>' key (string-typed labels, so a synthetic singleton
+    # key can never collide with a real community label)
+    labeled = (
+        und.join(comm.select(F.col("id").alias("a"), F.col("c").alias("ca")), "a", "left")
+        .join(comm.select(F.col("id").alias("b"), F.col("c").alias("cb")), "b", "left")
+        .select(
+            "a",
+            "b",
+            F.coalesce(F.col("ca").cast("string"), F.concat(F.lit("~"), F.col("a"))).alias("ca"),
+            F.coalesce(F.col("cb").cast("string"), F.concat(F.lit("~"), F.col("b"))).alias("cb"),
+        )
+    ).cache()  # three actions below read it; released before return
+    spark = edges.sparkSession
+    try:
+        m = labeled.count()
+        if m == 0:
+            return spark.createDataFrame([(0.0,)], "modularity double")
+        intra = labeled.filter(F.col("ca") == F.col("cb")).count()
+        deg_by_c = (
+            labeled.select(F.col("ca").alias("c"))
+            .unionAll(labeled.select(F.col("cb").alias("c")))
+            .groupBy("c")
+            .agg(F.count(F.lit(1)).cast("double").alias("d_c"))
+        )
+        sum_sq = deg_by_c.agg(
+            F.sum((F.col("d_c") / (2.0 * m)) ** 2).alias("s")
+        ).collect()[0]["s"]
+    finally:
+        labeled.unpersist()
+    return spark.createDataFrame(
+        [(float(intra) / m - float(sum_sq),)], "modularity double"
     )

@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "range_join_bins"]
+__all__ = ["asof_join", "cohort_retention", "range_join_bins"]
 
 
 def asof_join(
@@ -187,4 +187,54 @@ def range_join_bins(
             (F.col(lo_col) <= F.col(point_col)) & (F.col(point_col) < F.col(hi_col))
         )
         .drop("_bin")
+    )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period: str = "week",
+) -> DataFrame:
+    """Cohort-retention matrix over an event log — the standard web
+    analytics rollup: users are assigned to the cohort of their FIRST
+    activity period, and each (cohort, offset) cell counts how many of
+    them were active ``offset`` periods later.
+
+    Output: (cohort_start timestamp, period_offset int, n_users bigint)
+    — one row per non-empty cell, so the result is tiny regardless of
+    event volume. ``period``: any ``date_trunc`` unit ('week', 'month',
+    'day').
+
+    Scale shape: one groupBy(user, period) distinct-activity pass (the
+    big shuffle, map-side combined), a per-user min-window to stamp the
+    cohort — expressed as a self-aggregation + broadcast-or-shuffle
+    join on user rather than a window so the activity table stays
+    partitioned once — then a tiny (cohort, offset) count. No step
+    touches raw events twice."""
+    active = (
+        events.select(
+            F.col(user_col).alias("u"),
+            F.date_trunc(period, F.col(ts_col)).alias("p"),
+        )
+        .distinct()
+    )
+    first = active.groupBy("u").agg(F.min("p").alias("cohort_start"))
+    if period == "month":
+        # calendar months are uneven; months_between on truncated
+        # month starts is exact integers
+        offset = F.months_between(F.col("p"), F.col("cohort_start")).cast("int")
+    elif period in ("day", "week"):
+        unit_days = {"day": 1, "week": 7}[period]
+        # date_trunc-aligned periods differ by exact unit multiples
+        offset = (
+            F.datediff(F.col("p"), F.col("cohort_start")) / unit_days
+        ).cast("int")
+    else:
+        raise ValueError(f"unsupported period {period!r} (day/week/month)")
+    return (
+        active.join(first, "u")
+        .select("cohort_start", offset.alias("period_offset"))
+        .groupBy("cohort_start", "period_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
     )
