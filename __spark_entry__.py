@@ -382,6 +382,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_bib_coupling": lambda s, d: _q_bib_coupling(s, d),
         "q_modularity": lambda s, d: _q_modularity(s, d),
         "q_cohort_retention": lambda s, d: _q_cohort_retention(s, d),
+        "q_salsa": lambda s, d: _q_salsa(s, d),
+        "q_backlink_diversity": lambda s, d: _q_backlink_diversity(s, d),
         "q_katz": lambda s, d: _q_katz(s, d),
         "q_ktruss": lambda s, d: _q_ktruss(s, d),
         "q_pagerank_weighted": lambda s, d: _q_pagerank_weighted(s, d),
@@ -2246,6 +2248,110 @@ _COHORT_ORACLE_SQL = """
 """
 
 
+_SALSA_ITERS = 12
+
+
+def _q_salsa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SALSA authorities+hubs (graph/salsa.py) on the sparse struct
+    graph, fixed-k; oracle unrolls the same degree-normalized
+    back-forward walk in SQL."""
+    from plwordnet_spark.graph.salsa import salsa
+
+    res = salsa(spark, _struct_edges(spark, sf_dir), tol=0.0, max_iterations=_SALSA_ITERS)
+    return res.state.select(
+        "id",
+        F.round("authority", 6).alias("authority"),
+        F.round("hub", 6).alias("hub"),
+    )
+
+
+def _salsa_oracle_sql(k: int = _SALSA_ITERS) -> str:
+    """Unrolled fixed-k SALSA: per iteration each chain does two
+    degree-normalized gathers + an L1 normalize — same float op order
+    as graph/salsa.py (inverse degrees computed once, multiplied per
+    row). AS MATERIALIZED per the _pagerank_oracle_sql precedent."""
+    parts = [
+        f"WITH edges AS MATERIALIZED ({_STRUCT_EDGE_SQL})",
+        "ids AS MATERIALIZED (SELECT src AS id FROM edges UNION SELECT dst FROM edges)",
+        "nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM ids)",
+        "outd AS MATERIALIZED (SELECT src AS id, 1.0/count(*) AS inv FROM edges GROUP BY src)",
+        "ind AS MATERIALIZED (SELECT dst AS id, 1.0/count(*) AS inv FROM edges GROUP BY dst)",
+        "a0 AS MATERIALIZED (SELECT id, 1.0/(SELECT n FROM nn) AS a FROM ids)",
+        "h0 AS MATERIALIZED (SELECT id, 1.0/(SELECT n FROM nn) AS h FROM ids)",
+    ]
+    for i in range(k):
+        parts.append(
+            f"b{i} AS MATERIALIZED (SELECT e.src AS id, SUM(x.a * ii.inv) AS b "
+            f"FROM edges e JOIN a{i} x ON x.id = e.dst "
+            f"JOIN ind ii ON ii.id = e.dst GROUP BY e.src)"
+        )
+        parts.append(
+            f"ar{i} AS MATERIALIZED (SELECT i.id, COALESCE(g.s, 0.0) AS a "
+            f"FROM ids i LEFT JOIN (SELECT e.dst AS id, SUM(b.b * o.inv) AS s "
+            f"FROM edges e JOIN b{i} b ON b.id = e.src "
+            f"JOIN outd o ON o.id = e.src GROUP BY e.dst) g ON i.id = g.id)"
+        )
+        parts.append(f"an{i} AS MATERIALIZED (SELECT SUM(ABS(a)) AS n FROM ar{i})")
+        parts.append(
+            f"a{i + 1} AS MATERIALIZED (SELECT id, CASE WHEN (SELECT n FROM an{i}) > 0 "
+            f"THEN a/(SELECT n FROM an{i}) ELSE 0.0 END AS a FROM ar{i})"
+        )
+        parts.append(
+            f"c{i} AS MATERIALIZED (SELECT e.dst AS id, SUM(x.h * o.inv) AS c "
+            f"FROM edges e JOIN h{i} x ON x.id = e.src "
+            f"JOIN outd o ON o.id = e.src GROUP BY e.dst)"
+        )
+        parts.append(
+            f"hr{i} AS MATERIALIZED (SELECT i.id, COALESCE(g.s, 0.0) AS h "
+            f"FROM ids i LEFT JOIN (SELECT e.src AS id, SUM(c.c * ii.inv) AS s "
+            f"FROM edges e JOIN c{i} c ON c.id = e.dst "
+            f"JOIN ind ii ON ii.id = e.dst GROUP BY e.src) g ON i.id = g.id)"
+        )
+        parts.append(f"hn{i} AS MATERIALIZED (SELECT SUM(ABS(h)) AS n FROM hr{i})")
+        parts.append(
+            f"h{i + 1} AS MATERIALIZED (SELECT id, CASE WHEN (SELECT n FROM hn{i}) > 0 "
+            f"THEN h/(SELECT n FROM hn{i}) ELSE 0.0 END AS h FROM hr{i})"
+        )
+    return ",\n".join(parts) + (
+        f"\nSELECT a.id, ROUND(a.a, 6) AS authority, ROUND(h.h, 6) AS hub "
+        f"FROM a{k} a JOIN h{k} h ON a.id = h.id"
+    )
+
+
+_BACKLINK_HOST_MOD = 13  # pseudo-host of node id = 'h' || id % 13
+
+
+def _q_backlink_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backlink host diversity (graph/hostgraph.py): per dst, in-link
+    count vs distinct source hosts — the link-farm triage stat."""
+    from plwordnet_spark.graph.hostgraph import backlink_diversity
+
+    edges = _derived_edges(spark, sf_dir)
+    ids = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    hosts = ids.select(
+        "id",
+        F.concat(
+            F.lit("h"), (F.col("id") % _BACKLINK_HOST_MOD).cast("string")
+        ).alias("host"),
+    )
+    return backlink_diversity(edges, hosts)
+
+
+_BACKLINK_ORACLE_SQL = f"""
+    WITH edges AS MATERIALIZED ({_EDGE_SQL_DERIVATION})
+    SELECT dst,
+           CAST(count(*) AS BIGINT) AS n_backlinks,
+           CAST(count(DISTINCT src % {_BACKLINK_HOST_MOD}) AS BIGINT) AS n_src_hosts,
+           CAST(count(DISTINCT src % {_BACKLINK_HOST_MOD}) AS DOUBLE) / count(*)
+               AS host_diversity
+    FROM edges GROUP BY dst
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "q_scan_filter_project": """
@@ -2778,6 +2884,8 @@ def oracle_sql() -> dict[str, str]:
         "q_bib_coupling": _two_path_oracle_sql("dst", "src"),
         "q_modularity": _MODULARITY_ORACLE_SQL,
         "q_cohort_retention": _COHORT_ORACLE_SQL,
+        "q_salsa": _salsa_oracle_sql(),
+        "q_backlink_diversity": _BACKLINK_ORACLE_SQL,
         "q_katz": _katz_oracle_sql(),
         "q_ktruss": _ktruss_oracle_sql(),
         "q_pagerank_weighted": _pagerank_oracle_sql(weighted=True),

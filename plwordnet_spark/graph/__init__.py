@@ -8,3 +8,4 @@ from plwordnet_spark.graph.trustrank import trustrank, spam_mass  # noqa: F401
 from plwordnet_spark.graph.chains import resolve_chains  # noqa: F401
 from plwordnet_spark.graph.anchors import build_anchor_table, anchor_term_topk  # noqa: F401
 from plwordnet_spark.graph.cocitation import cocitation, bibliographic_coupling  # noqa: F401
+from plwordnet_spark.graph.salsa import salsa  # noqa: F401

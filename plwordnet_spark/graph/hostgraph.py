@@ -27,7 +27,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["host_of", "project_to_hosts", "intra_host_ratio"]
+__all__ = [
+    "backlink_diversity",
+    "host_of",
+    "intra_host_ratio",
+    "project_to_hosts",
+]
 
 
 def host_of(col) -> "F.Column":
@@ -88,5 +93,39 @@ def intra_host_ratio(edges: DataFrame, node_hosts: DataFrame) -> DataFrame:
             "n_intra",
             "n_total",
             (F.col("n_intra") / F.col("n_total")).alias("intra_ratio"),
+        )
+    )
+
+
+def backlink_diversity(edges: DataFrame, node_hosts: DataFrame) -> DataFrame:
+    """Per dst page: (n_backlinks, n_src_hosts, host_diversity) — how
+    many links point at it and from how many DISTINCT hosts.
+
+    The backlink-quality counterpoint to raw in-degree: a page with 10k
+    in-links from one host (template footer, link farm) scores
+    diversity 1/10000 ≈ 0, while genuinely referenced pages draw links
+    from many hosts. Used with spam_mass (graph/trustrank.py) to
+    triage high-PageRank-low-trust pages.
+
+    Scale shape: one src-keyed join against the (id → host) map, then a
+    single groupBy(dst) computing count + countDistinct(host). The
+    distinct-host count cannot fold fully map-side (it is not
+    algebraic), but its key space is bounded by hosts-per-dst ≪
+    in-degree; Spark plans it as the standard two-phase partial
+    distinct expand."""
+    src_h = node_hosts.select(F.col("id").alias("src"), F.col("host").alias("src_host"))
+    return (
+        edges.select("src", "dst")
+        .join(src_h, "src")
+        .groupBy("dst")
+        .agg(
+            F.count(F.lit(1)).alias("n_backlinks"),
+            F.countDistinct("src_host").alias("n_src_hosts"),
+        )
+        .select(
+            "dst",
+            "n_backlinks",
+            "n_src_hosts",
+            (F.col("n_src_hosts") / F.col("n_backlinks")).alias("host_diversity"),
         )
     )
