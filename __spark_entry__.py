@@ -384,6 +384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cohort_retention": lambda s, d: _q_cohort_retention(s, d),
         "q_salsa": lambda s, d: _q_salsa(s, d),
         "q_backlink_diversity": lambda s, d: _q_backlink_diversity(s, d),
+        "q_attributed_clicks": lambda s, d: _q_attributed_clicks(s, d),
         "q_katz": lambda s, d: _q_katz(s, d),
         "q_ktruss": lambda s, d: _q_ktruss(s, d),
         "q_pagerank_weighted": lambda s, d: _q_pagerank_weighted(s, d),
@@ -2352,6 +2353,24 @@ _BACKLINK_ORACLE_SQL = f"""
 """
 
 
+def _q_attributed_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-join click attribution (streaming/joins.py, batch form;
+    the streaming form is stream==batch parity-tested)."""
+    from plwordnet_spark.streaming.joins import attributed_clicks
+
+    return attributed_clicks(_t(spark, sf_dir, "events"), window="30 minutes")
+
+
+_ATTRIBUTION_ORACLE_SQL = """
+    SELECT i.user_id, i.event_id AS imp_id, i.ts AS imp_ts,
+           c.event_id AS click_id, c.ts AS click_ts
+    FROM events i JOIN events c
+      ON i.user_id = c.user_id
+     AND i.event_type = 'view' AND c.event_type = 'click'
+     AND i.ts <= c.ts AND c.ts < i.ts + INTERVAL 30 MINUTE
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "q_scan_filter_project": """
@@ -2886,6 +2905,7 @@ def oracle_sql() -> dict[str, str]:
         "q_cohort_retention": _COHORT_ORACLE_SQL,
         "q_salsa": _salsa_oracle_sql(),
         "q_backlink_diversity": _BACKLINK_ORACLE_SQL,
+        "q_attributed_clicks": _ATTRIBUTION_ORACLE_SQL,
         "q_katz": _katz_oracle_sql(),
         "q_ktruss": _ktruss_oracle_sql(),
         "q_pagerank_weighted": _pagerank_oracle_sql(weighted=True),

@@ -215,6 +215,19 @@ def main() -> int:
              or "ShuffledHashJoin" in rplan2),
     )
 
+    # 14. stream-stream-shaped interval join (batch form) is an equi-join
+    # on the key with the time range as a filter — not a nested loop
+    from plwordnet_spark.streaming.joins import attributed_clicks
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    aplan = plan_of(attributed_clicks(events))
+    check(
+        "interval-join attribution plans as key equi-join, no nested loop",
+        "BroadcastNestedLoopJoin" not in aplan
+        and ("BroadcastHashJoin" in aplan or "SortMergeJoin" in aplan
+             or "ShuffledHashJoin" in aplan),
+    )
+
     print()
     print("=== sample plans ===")
     for title, p in (("pushdown", plan), ("gather", gplan)):
