@@ -385,6 +385,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_salsa": lambda s, d: _q_salsa(s, d),
         "q_backlink_diversity": lambda s, d: _q_backlink_diversity(s, d),
         "q_attributed_clicks": lambda s, d: _q_attributed_clicks(s, d),
+        "q_eigenvector": lambda s, d: _q_eigenvector(s, d),
+        "q_json_props": lambda s, d: _q_json_props(s, d),
         "q_katz": lambda s, d: _q_katz(s, d),
         "q_ktruss": lambda s, d: _q_ktruss(s, d),
         "q_pagerank_weighted": lambda s, d: _q_pagerank_weighted(s, d),
@@ -2371,6 +2373,76 @@ _ATTRIBUTION_ORACLE_SQL = """
 """
 
 
+_EIG_ITERS = 20
+
+
+def _q_eigenvector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eigenvector centrality (graph/centrality.py) fixed-k on the
+    derived graph; oracle unrolls the same gather + L2 normalize."""
+    from plwordnet_spark.graph.centrality import eigenvector_centrality
+
+    res = eigenvector_centrality(
+        spark, _derived_edges(spark, sf_dir), tol=0.0, max_iterations=_EIG_ITERS
+    )
+    return res.state.select("id", F.round("score", 8).alias("score"))
+
+
+def _eigenvector_oracle_sql(k: int = _EIG_ITERS) -> str:
+    parts = [
+        f"WITH edges AS MATERIALIZED ({_EDGE_SQL_DERIVATION})",
+        "ids AS MATERIALIZED (SELECT src AS id FROM edges UNION SELECT dst FROM edges)",
+        "nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM ids)",
+        "x0 AS MATERIALIZED (SELECT id, 1.0/(SELECT n FROM nn) AS score FROM ids)",
+    ]
+    for i in range(k):
+        parts.append(
+            f"er{i} AS MATERIALIZED (SELECT i.id, COALESCE(g.s, 0.0) AS raw "
+            f"FROM ids i LEFT JOIN (SELECT e.dst AS id, SUM(x.score * 1.0) AS s "
+            f"FROM edges e JOIN x{i} x ON x.id = e.src GROUP BY e.dst) g "
+            f"ON i.id = g.id)"
+        )
+        parts.append(
+            f"en{i} AS MATERIALIZED (SELECT sqrt(SUM(raw*raw)) AS n FROM er{i})"
+        )
+        parts.append(
+            f"x{i + 1} AS MATERIALIZED (SELECT id, CASE WHEN (SELECT n FROM en{i}) > 0 "
+            f"THEN raw/(SELECT n FROM en{i}) ELSE 0.0 END AS score FROM er{i})"
+        )
+    return ",\n".join(parts) + (
+        f"\nSELECT id, ROUND(score, 8) AS score FROM x{k}"
+    )
+
+
+def _q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON extraction (from_json with an explicit schema — the
+    semi-structured column surface) + per-type rollup of the parsed
+    field."""
+    ev = _t(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type", F.from_json("props", "k INT").alias("p")
+    ).select("event_type", F.col("p.k").alias("k"))
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("k"), 6).alias("avg_k"),
+        F.max("k").alias("max_k"),
+        F.sum("k").alias("sum_k"),
+    )
+
+
+_JSON_PROPS_ORACLE_SQL = r"""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           ROUND(AVG(k), 6) AS avg_k,
+           MAX(k) AS max_k,
+           CAST(SUM(k) AS BIGINT) AS sum_k
+    FROM (
+        SELECT event_type,
+               CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        FROM events
+    ) GROUP BY event_type
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "q_scan_filter_project": """
@@ -2906,6 +2978,8 @@ def oracle_sql() -> dict[str, str]:
         "q_salsa": _salsa_oracle_sql(),
         "q_backlink_diversity": _BACKLINK_ORACLE_SQL,
         "q_attributed_clicks": _ATTRIBUTION_ORACLE_SQL,
+        "q_eigenvector": _eigenvector_oracle_sql(),
+        "q_json_props": _JSON_PROPS_ORACLE_SQL,
         "q_katz": _katz_oracle_sql(),
         "q_ktruss": _ktruss_oracle_sql(),
         "q_pagerank_weighted": _pagerank_oracle_sql(weighted=True),

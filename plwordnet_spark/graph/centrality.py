@@ -39,8 +39,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from plwordnet_spark.graph.bfs import landmark_distances
+from plwordnet_spark.graph.pregel import PregelResult, PregelRunner, loop_tuning
 
-__all__ = ["harmonic_centrality", "closeness_centrality"]
+__all__ = [
+    "closeness_centrality",
+    "eigenvector_centrality",
+    "harmonic_centrality",
+]
 
 
 def _all_node_ids(edges: DataFrame) -> DataFrame:
@@ -117,4 +122,95 @@ def closeness_centrality(
             (r_minus_1 * r_minus_1)
             / (F.col("total_dist") * F.lit(float(n_nodes - 1)))
         ).alias("closeness"),
+    )
+
+
+def eigenvector_centrality(
+    spark: SparkSession,
+    edges: DataFrame,
+    max_iterations: int = 100,
+    tol: float = 1e-8,
+    weighted: bool = False,
+    checkpoint_dir: str | None = None,
+    checkpoint_interval: int = 5,
+) -> PregelResult:
+    """Eigenvector centrality: the dominant left eigenvector of the
+    adjacency matrix — x_{t+1} = normalize(Aᵀ x_t), the un-damped,
+    un-degree-normalized member of the PageRank/Katz/HITS family
+    (Bonacich 1972). Completes the centrality set: score flows along
+    in-links weighted by the SOURCE's own score, with no teleport
+    (PageRank) and no additive beta (Katz).
+
+    Per iteration: one rank join on src + one groupBy(dst) gather with
+    map-side partial aggregation, then an L2 normalize via a broadcast
+    one-row aggregate — the exact PageRank shuffle shape, so every
+    skew/scale property measured there (BENCH/SKEW.md) carries over.
+    ``tol=0.0`` runs exactly ``max_iterations`` (fixed-k, what the SQL
+    oracle replays). Convergence requires the usual primitivity caveat
+    (reducible/periodic graphs may oscillate — the fixed-k contract
+    sidesteps it; callers wanting guaranteed convergence damp via
+    ``pagerank`` instead)."""
+    w = F.col("weight") if weighted and "weight" in edges.columns else F.lit(1.0)
+    links = edges.select("src", "dst", w.cast("double").alias("w")).filter(
+        "src != dst"
+    ).repartition("src").cache()
+    ids = (
+        links.select(F.col("src").alias("id"))
+        .unionByName(links.select(F.col("dst").alias("id")))
+        .distinct()
+        .repartition("id")
+        .cache()
+    )
+    n_nodes = ids.count()
+    if n_nodes == 0:
+        links.unpersist()
+        return PregelResult(
+            state=spark.createDataFrame([], "id long, score double"),
+            iterations=0,
+            converged=True,
+        )
+    links.count()
+    init = ids.select("id", F.lit(1.0 / n_nodes).alias("score"))
+
+    def step(state: DataFrame) -> DataFrame:
+        gathered = (
+            state.join(links, state["id"] == links["src"])
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum(F.col("score") * F.col("w")).alias("raw"))
+        )
+        filled = ids.join(gathered, "id", "left").select(
+            "id", F.coalesce("raw", F.lit(0.0)).alias("raw")
+        )
+        norm = filled.agg(F.sqrt(F.sum(F.col("raw") ** 2)).alias("_n"))
+        return filled.crossJoin(F.broadcast(norm)).select(
+            "id",
+            F.when(F.col("_n") > 0, F.col("raw") / F.col("_n"))
+            .otherwise(F.lit(0.0))
+            .alias("score"),
+        )
+
+    def delta(old: DataFrame, new: DataFrame) -> float:
+        return (
+            new.alias("n")
+            .join(old.alias("o"), "id")
+            .agg(F.sum(F.abs(F.col("n.score") - F.col("o.score"))).alias("d"))
+            .collect()[0]["d"]
+        )
+
+    runner = PregelRunner(
+        spark,
+        max_iterations=max_iterations,
+        tol=(n_nodes * tol) if tol else None,
+        checkpoint_dir=checkpoint_dir,
+        checkpoint_interval=checkpoint_interval,
+    )
+    with loop_tuning(spark, n_nodes):
+        result = runner.run(init, step, delta if tol else None)
+    ids.unpersist()
+    links.unpersist()
+    return PregelResult(
+        state=result.state,
+        iterations=result.iterations,
+        converged=result.converged,
+        metrics=result.metrics,
     )
