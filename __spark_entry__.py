@@ -387,6 +387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_attributed_clicks": lambda s, d: _q_attributed_clicks(s, d),
         "q_eigenvector": lambda s, d: _q_eigenvector(s, d),
         "q_json_props": lambda s, d: _q_json_props(s, d),
+        "q_url_features": lambda s, d: _q_url_features(s, d),
         "q_katz": lambda s, d: _q_katz(s, d),
         "q_ktruss": lambda s, d: _q_ktruss(s, d),
         "q_pagerank_weighted": lambda s, d: _q_pagerank_weighted(s, d),
@@ -2443,6 +2444,54 @@ _JSON_PROPS_ORACLE_SQL = r"""
 """
 
 
+def _q_url_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL feature extraction via Spark's parse_url (JVM-side, stays in
+    codegen): host / path / depth / query param — the crawl-frontier
+    featurization columns. URLs synthesized deterministically from
+    documents; the oracle recomputes the same features with portable
+    string ops."""
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/"),
+        F.col("lang"), F.lit("/doc/"), F.col("doc_id").cast("string"),
+        F.lit("?ref=r"), (F.col("doc_id") % 3).cast("string"),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    path = F.parse_url(F.col("url"), F.lit("PATH"))
+    return u.select(
+        "doc_id",
+        "url",
+        F.parse_url(F.col("url"), F.lit("HOST")).alias("host"),
+        path.alias("path"),
+        (F.size(F.split(path, "/")) - 1).alias("path_depth"),
+        F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("ref")).alias("ref_param"),
+    )
+
+
+_URL_FEATURES_ORACLE_SQL = """
+    WITH u AS (
+        SELECT doc_id,
+               'https://' || source || '.example.com/' || lang || '/doc/'
+                   || CAST(doc_id AS VARCHAR) || '?ref=r'
+                   || CAST(doc_id % 3 AS VARCHAR) AS url
+        FROM documents
+    ),
+    parts AS (
+        SELECT doc_id, url,
+               split_part(split_part(url, '//', 2), '/', 1) AS host,
+               split_part(url, '?', 1) AS no_query
+        FROM u
+    )
+    SELECT doc_id, url, host,
+           substr(no_query, 9 + length(host)) AS path,
+           CAST(length(substr(no_query, 9 + length(host)))
+                - length(replace(substr(no_query, 9 + length(host)), '/', ''))
+                AS INTEGER) AS path_depth,
+           split_part(split_part(url, 'ref=', 2), '&', 1) AS ref_param
+    FROM parts
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "q_scan_filter_project": """
@@ -2980,6 +3029,7 @@ def oracle_sql() -> dict[str, str]:
         "q_attributed_clicks": _ATTRIBUTION_ORACLE_SQL,
         "q_eigenvector": _eigenvector_oracle_sql(),
         "q_json_props": _JSON_PROPS_ORACLE_SQL,
+        "q_url_features": _URL_FEATURES_ORACLE_SQL,
         "q_katz": _katz_oracle_sql(),
         "q_ktruss": _ktruss_oracle_sql(),
         "q_pagerank_weighted": _pagerank_oracle_sql(weighted=True),
