@@ -4,10 +4,10 @@ The other half of the hyperlink besides the edge itself: the anchor text
 pointing AT a page, aggregated over all its in-links, is the web's
 crowd-sourced description of that page (the classic ranking/labeling
 signal that rides the same link graph PageRank does). This generalizes
-the reference's relation-typed edge annotations (plwordnet_handler's
-relation-graph build attaches typed metadata per edge; db_to_nx.py keeps
-a MultiDiGraph for exactly this kind of per-edge payload) to the web
-regime: payload = the linking page's anchor string.
+the reference's relation-typed edge annotations (db_to_nx.py:24-130
+maps relations onto a MultiDiGraph precisely so each edge can carry a
+typed payload; rel_type.py:12-28 is that payload's vocabulary) to the
+web regime: payload = the linking page's anchor string.
 
 Two operators:
 

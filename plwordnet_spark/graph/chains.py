@@ -4,11 +4,13 @@ The web-crawl normalization step the edge-table build needs upstream of
 every link analysis: HTTP redirects (301/302/canonical rel) form a
 functional graph — each URL has at most ONE outgoing redirect — and
 every crawled link must be rewritten to its FINAL target before dedup,
-or the same logical page splits rank across its aliases. plWordNet's
-analog is alias/variant collapsing before relation-graph construction
-(plwordnet_handler's unit-merge step); at web scale the chain table has
-billions of rows and chains tens of hops long (tracking parameters,
-country hops, http→https).
+or the same logical page splits rank across its aliases. Beyond the
+reference: it resolves entity identity relationally at load
+(db_to_nx.py:46-130 builds graph nodes from already-canonical synset
+ids) — a web crawl has to EARN canonical ids, and this operator is
+that step; at web scale the chain table has billions of rows and
+chains tens of hops long (tracking parameters, country hops,
+http→https ladders).
 
 A naive per-hop walk is O(L) sequential shuffles for chain length L.
 Pointer doubling (the Wyllie list-ranking primitive, same trick as the
