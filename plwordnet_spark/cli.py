@@ -253,6 +253,65 @@ def cmd_dedup(args) -> int:
     return 0
 
 
+def cmd_spam_mass(args) -> int:
+    """TrustRank spam mass over a built graph: PR vs seeded-trust rank
+    per page (graph/trustrank.py); seeds = the trusted whitelist."""
+    spark = get_spark("cli-spam-mass", master=args.master)
+    from pyspark.sql import functions as F
+
+    from plwordnet_spark.cache import CacheScope
+    from plwordnet_spark.graph.trustrank import spam_mass
+
+    _nodes, edges = _load_graph(spark, args.graph)
+    seeds = [int(s) for s in args.seeds.split(",") if s.strip()]
+    with CacheScope() as scope:
+        res = spam_mass(
+            spark, edges, seeds, tol=args.tol,
+            max_iterations=args.max_iterations, scope=scope,
+        )
+        if args.output:
+            res.state.write.mode("overwrite").parquet(args.output)
+        worst = [
+            {"id": r["id"], "spam_mass": round(r["spam_mass"], 6)}
+            for r in res.state.orderBy(F.desc("spam_mass"), "id").limit(5).collect()
+        ]
+        print(json.dumps({
+            "pr_iterations": res.pr_iterations,
+            "tr_iterations": res.tr_iterations,
+            "converged": res.converged,
+            "top_spam_mass": worst,
+        }))
+    spark.stop()
+    return 0
+
+
+def cmd_resolve_chains(args) -> int:
+    """Pointer-doubling redirect resolution (graph/chains.py) over a
+    (src, dst) parquet mapping; writes (src, final_dst, hops, is_cycle)."""
+    spark = get_spark("cli-resolve-chains", master=args.master)
+    from pyspark.sql import functions as F
+
+    from plwordnet_spark.graph.chains import resolve_chains
+
+    redirects = spark.read.parquet(args.redirects).select("src", "dst")
+    res = resolve_chains(spark, redirects)
+    state = res.state.cache()
+    n_cycle = state.filter(F.col("is_cycle")).count()
+    n_total = state.count()
+    max_hops = state.agg(F.max("hops")).collect()[0][0]
+    if args.output:
+        state.write.mode("overwrite").parquet(args.output)
+    state.unpersist()
+    print(json.dumps({
+        "rounds": res.iterations,
+        "resolved": n_total - n_cycle,
+        "cycles": n_cycle,
+        "max_hops": max_hops,
+    }))
+    spark.stop()
+    return 0
+
+
 def cmd_profile(args) -> int:
     """Corpus profile via sketches — the one-pass shape that survives
     100 TB, where exact distinct counts / percentiles would be a full
@@ -335,6 +394,17 @@ def main(argv: list[str] | None = None) -> int:
         if name == "labelprop":
             p.add_argument("--max-iterations", type=int, default=10)
         p.set_defaults(fn=fn)
+
+    p = sub.add_parser("spam-mass"); _add_common(p)
+    p.add_argument("--graph", required=True, help="dir from build-graph")
+    p.add_argument("--seeds", required=True, help="comma-separated trusted node ids")
+    p.add_argument("--tol", type=float, default=1e-6)
+    p.add_argument("--max-iterations", type=int, default=100)
+    p.set_defaults(fn=cmd_spam_mass)
+
+    p = sub.add_parser("resolve-chains"); _add_common(p)
+    p.add_argument("--redirects", required=True, help="(src,dst) parquet")
+    p.set_defaults(fn=cmd_resolve_chains)
 
     p = sub.add_parser("export-dataset"); _add_common(p)
     p.add_argument("--samples", required=True)
