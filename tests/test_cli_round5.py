@@ -1,8 +1,10 @@
 """CLI reach for the round-5 marquee ops: spam-mass, resolve-chains.
 
-CLI commands own (and stop) their SparkSession, so fixture-session work
-happens strictly BEFORE the first cli.main call and outputs are checked
-with pyarrow (the test_cli.py convention)."""
+Reuses the shared test session via the same autouse monkeypatch as
+test_cli.py — without it, cli.main's ``spark.stop()`` kills the
+session-scoped fixture's JVM context (getOrCreate returns the SAME
+underlying SparkContext in one process) and every later test file
+dies with a stopped-context AttributeError."""
 
 from __future__ import annotations
 
@@ -10,8 +12,15 @@ import glob
 import json
 
 import pyarrow.parquet as pq
+import pytest
 
 from plwordnet_spark import cli
+
+
+@pytest.fixture(autouse=True)
+def _reuse_test_session(spark, monkeypatch):
+    monkeypatch.setattr(cli, "get_spark", lambda *a, **k: spark)
+    monkeypatch.setattr(spark, "stop", lambda: None)
 
 
 def test_cli_spam_mass_and_resolve_chains(spark, tmp_path, capsys):
