@@ -443,6 +443,71 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_range_join": lambda s, d: _q_range_join(s, d),
         "q_random_walks": lambda s, d: _q_random_walks(s, d),
         "q_ppr_batch": lambda s, d: _q_ppr_batch(s, d),
+        # --- round-5 widening: behavior sequences, distribution stats, OLAP ---
+        "q_funnel_steps": lambda s, d: _q_funnel_steps(s, d),
+        "q_markov_transitions": lambda s, d: _q_markov_transitions(s, d),
+        "q_session_paths": lambda s, d: _q_session_paths(s, d),
+        "q_powerlaw_alpha": lambda s, d: _q_powerlaw_alpha(s, d),
+        "q_gini_indegree": lambda s, d: _q_gini_indegree(s, d),
+        "q_source_lang_entropy": lambda s, d: (
+            _t(s, d, "documents")
+            .groupBy("source", "lang")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("p", F.col("n") / F.sum("n").over(W.partitionBy("source")))
+            .groupBy("source")
+            .agg(
+                F.round(-F.sum(F.col("p") * F.log("p")), 6).alias("entropy"),
+                F.sum("n").cast("bigint").alias("n_docs"),
+            )
+        ),
+        "q_grouping_sets": lambda s, d: (
+            _t(s, d, "lineitem")
+            .groupingSets(
+                [[F.col("l_returnflag")], [F.col("l_linestatus")]],
+                F.col("l_returnflag"),
+                F.col("l_linestatus"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            )
+            .select(
+                F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
+                F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
+                "n",
+                "sum_price",
+            )
+        ),
+        "q_pivot_event_values": lambda s, d: _q_pivot_event_values(s, d),
+        "q_ntile_cume": lambda s, d: (
+            _t(s, d, "orders")
+            .filter(F.col("o_custkey") < 100)
+            .select(
+                "o_orderkey",
+                F.ntile(4)
+                .over(W.orderBy("o_totalprice", "o_orderkey"))
+                .alias("quartile"),
+                F.round(
+                    F.percent_rank().over(W.orderBy("o_totalprice", "o_orderkey")), 6
+                ).alias("pct_rank"),
+                F.round(
+                    F.cume_dist().over(W.orderBy("o_totalprice", "o_orderkey")), 6
+                ).alias("cume"),
+            )
+        ),
+        "q_corr_stats": lambda s, d: (
+            _t(s, d, "lineitem")
+            .groupBy("l_returnflag")
+            .agg(
+                F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+                    "corr_qty_price"
+                ),
+                F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+                    "covar_qty_price"
+                ),
+                F.round(F.stddev_samp("l_extendedprice"), 4).alias("std_price"),
+            )
+        ),
     }
 
 
@@ -2492,6 +2557,84 @@ _URL_FEATURES_ORACLE_SQL = """
 """
 
 
+def _q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view→click→purchase funnel with first-touch attribution
+    (behavior.funnel): K co-partitioned hash joins on user_id, no
+    full-stream window. Reference analogue: the session-flow accounting
+    in plwordnet_handler's usage reporting, restated as aggregates."""
+    from plwordnet_spark.behavior import funnel
+
+    return funnel(_t(spark, sf_dir, "events"), ["view", "click", "purchase"])
+
+
+def _q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-type transition matrix (behavior.
+    markov_transitions): one user-partitioned lag window + a
+    |types|²-row normalized aggregate."""
+    from plwordnet_spark.behavior import markov_transitions
+
+    return markov_transitions(_t(spark, sf_dir, "events"))
+
+
+def _q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 length-3 event paths (behavior.top_paths): lag-2 trigram
+    extraction in one window pass, global sort only over the tiny
+    path histogram."""
+    from plwordnet_spark.behavior import top_paths
+
+    return top_paths(_t(spark, sf_dir, "events"), length=3, n=20)
+
+
+def _in_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from plwordnet_spark.graph.stats import degree_distribution
+
+    return (
+        degree_distribution(_derived_edges(spark, sf_dir))
+        .filter(F.col("direction") == "in")
+        .select("degree", "n_nodes")
+    )
+
+
+def _q_powerlaw_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-MLE power-law exponent of the in-degree distribution
+    (stats.powerlaw_alpha over the compact histogram)."""
+    from plwordnet_spark.graph.stats import powerlaw_alpha
+
+    return powerlaw_alpha(_in_degree_hist(spark, sf_dir))
+
+
+def _q_gini_indegree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of the in-degree distribution (stats.
+    gini_from_histogram) — the scalar hub-skew indicator; the ordering
+    window runs over the histogram, never per-node rows."""
+    from plwordnet_spark.graph.stats import gini_from_histogram
+
+    return gini_from_histogram(_in_degree_hist(spark, sf_dir))
+
+
+_EVENT_TYPES = ["view", "click", "signup", "purchase", "error"]
+
+
+def _q_pivot_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an EXPLICIT value list — the scale-correct form: the
+    implicit form runs an extra distinct-collect job over the full
+    stream to discover columns; pinning them keeps this a single
+    groupBy and makes the output schema static for downstream code."""
+    ev = _t(spark, sf_dir, "events")
+    p = (
+        ev.groupBy((F.col("user_id") % 10).cast("int").alias("bucket"))
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.sum("value"))
+    )
+    return p.select(
+        "bucket",
+        *[
+            F.round(F.coalesce(F.col(c), F.lit(0.0)), 2).alias(c)
+            for c in _EVENT_TYPES
+        ],
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "q_scan_filter_project": """
@@ -3403,6 +3546,139 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(quantile_cont(l_extendedprice, 0.5), 2) AS p50_exact,
                    ROUND(quantile_cont(l_extendedprice, 0.9), 2) AS p90_exact,
                    CAST(1 AS INTEGER) AS within_bound
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        # --- round-5 widening: behavior sequences, distribution stats, OLAP ---
+        "q_funnel_steps": """
+            WITH s1 AS (
+                SELECT user_id, MIN(ts) AS t FROM events
+                WHERE event_type = 'view' GROUP BY user_id
+            ),
+            s2 AS (
+                SELECT e.user_id, MIN(e.ts) AS t FROM events e
+                JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+                WHERE e.event_type = 'click' GROUP BY e.user_id
+            ),
+            s3 AS (
+                SELECT e.user_id, MIN(e.ts) AS t FROM events e
+                JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+                WHERE e.event_type = 'purchase' GROUP BY e.user_id
+            )
+            SELECT CAST(1 AS INTEGER) AS step, 'view' AS step_name,
+                   CAST(count(*) AS BIGINT) AS users FROM s1
+            UNION ALL
+            SELECT CAST(2 AS INTEGER), 'click', CAST(count(*) AS BIGINT) FROM s2
+            UNION ALL
+            SELECT CAST(3 AS INTEGER), 'purchase', CAST(count(*) AS BIGINT) FROM s3
+        """,
+        "q_markov_transitions": """
+            WITH seq AS (
+                SELECT event_type,
+                       LAG(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS prev_type
+                FROM events
+            ),
+            pairs AS (
+                SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS n
+                FROM seq WHERE prev_type IS NOT NULL
+                GROUP BY prev_type, event_type
+            )
+            SELECT prev_type, event_type, n,
+                   ROUND(n / SUM(n) OVER (PARTITION BY prev_type), 6) AS prob
+            FROM pairs
+        """,
+        "q_session_paths": """
+            WITH seq AS (
+                SELECT event_type,
+                       LAG(event_type, 1) OVER w AS p1,
+                       LAG(event_type, 2) OVER w AS p2
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT p2 || ' > ' || p1 || ' > ' || event_type AS path,
+                   CAST(count(*) AS BIGINT) AS n_occurrences
+            FROM seq WHERE p2 IS NOT NULL
+            GROUP BY path
+            ORDER BY n_occurrences DESC, path
+            LIMIT 20
+        """,
+        "q_powerlaw_alpha": f"""
+            WITH edges AS ({_EDGE_SQL_DERIVATION}),
+            indeg AS (SELECT dst, count(*) AS degree FROM edges GROUP BY dst),
+            hist AS (SELECT degree, count(*) AS n_nodes FROM indeg GROUP BY degree)
+            SELECT ROUND(
+                       1.0 + SUM(n_nodes) / SUM(n_nodes * LN(degree / 0.5)),
+                       6
+                   ) AS alpha,
+                   CAST(SUM(n_nodes) AS BIGINT) AS n_tail
+            FROM hist WHERE degree >= 1
+        """,
+        "q_gini_indegree": f"""
+            WITH edges AS ({_EDGE_SQL_DERIVATION}),
+            indeg AS (SELECT dst, count(*) AS degree FROM edges GROUP BY dst),
+            hist AS (SELECT degree, count(*) AS n_nodes FROM indeg GROUP BY degree),
+            ranked AS (
+                SELECT CAST(degree AS DOUBLE) AS d,
+                       CAST(n_nodes AS DOUBLE) AS c,
+                       SUM(CAST(n_nodes AS DOUBLE)) OVER (
+                           ORDER BY CAST(degree AS DOUBLE)
+                       ) AS cum
+                FROM hist
+            )
+            SELECT ROUND(
+                       2.0 * SUM(d * (cum - c + 1 + cum) * c / 2.0)
+                           / (SUM(c) * SUM(d * c))
+                       - (SUM(c) + 1) / SUM(c),
+                       6
+                   ) AS gini
+            FROM ranked
+        """,
+        "q_source_lang_entropy": """
+            WITH counts AS (
+                SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+                FROM documents GROUP BY source, lang
+            ),
+            probs AS (
+                SELECT source, n,
+                       n / SUM(n) OVER (PARTITION BY source) AS p
+                FROM counts
+            )
+            SELECT source,
+                   ROUND(-SUM(p * LN(p)), 6) AS entropy,
+                   CAST(SUM(n) AS BIGINT) AS n_docs
+            FROM probs GROUP BY source
+        """,
+        "q_grouping_sets": """
+            SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+                   COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+                   CAST(count(*) AS BIGINT) AS n,
+                   ROUND(SUM(l_extendedprice), 2) AS sum_price
+            FROM lineitem
+            GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """,
+        "q_pivot_event_values": """
+            SELECT CAST(user_id % 10 AS INTEGER) AS bucket,
+                   ROUND(COALESCE(SUM(CASE WHEN event_type = 'view' THEN value END), 0.0), 2) AS view,
+                   ROUND(COALESCE(SUM(CASE WHEN event_type = 'click' THEN value END), 0.0), 2) AS click,
+                   ROUND(COALESCE(SUM(CASE WHEN event_type = 'signup' THEN value END), 0.0), 2) AS signup,
+                   ROUND(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN value END), 0.0), 2) AS purchase,
+                   ROUND(COALESCE(SUM(CASE WHEN event_type = 'error' THEN value END), 0.0), 2) AS error
+            FROM events GROUP BY bucket
+        """,
+        "q_ntile_cume": """
+            SELECT o_orderkey,
+                   CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+                   ROUND(percent_rank() OVER w, 6) AS pct_rank,
+                   ROUND(cume_dist() OVER w, 6) AS cume
+            FROM orders WHERE o_custkey < 100
+            WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+        """,
+        "q_corr_stats": """
+            SELECT l_returnflag,
+                   ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+                   ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price,
+                   ROUND(stddev_samp(l_extendedprice), 4) AS std_price
             FROM lineitem GROUP BY l_returnflag
         """,
     }

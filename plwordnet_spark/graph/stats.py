@@ -21,7 +21,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["degree_distribution", "degrees", "modularity"]
+__all__ = [
+    "degree_distribution",
+    "degrees",
+    "gini_from_histogram",
+    "modularity",
+    "powerlaw_alpha",
+]
 
 
 def degrees(edges: DataFrame) -> DataFrame:
@@ -127,4 +133,83 @@ def modularity(edges: DataFrame, communities: DataFrame) -> DataFrame:
         labeled.unpersist()
     return spark.createDataFrame(
         [(float(intra) / m - float(sum_sq),)], "modularity double"
+    )
+
+
+def powerlaw_alpha(
+    hist: DataFrame,
+    *,
+    value_col: str = "degree",
+    count_col: str = "n_nodes",
+    d_min: int = 1,
+    round_to: int = 6,
+) -> DataFrame:
+    """Continuous-MLE power-law exponent over a degree histogram —
+    ONE row (alpha double, n_tail bigint).
+
+    Clauset–Shalizi–Newman (SIAM Rev. 51(4), 2009) eq. 3.1 with the
+    standard −1/2 continuity correction:
+
+        alpha = 1 + N / Σ_k c_k · ln( d_k / (d_min − 1/2) )
+
+    over histogram rows with d_k ≥ d_min. The reference profiles its
+    WordNet graph density imperatively (plwordnet_handler/base/
+    structure/graph.py); a crawl graph's headline shape statistic is
+    this exponent (≈2.1 for the web in-degree distribution).
+
+    Scale shape: the input is the already-compact (value, count)
+    histogram from ``degree_distribution`` — a few thousand rows at
+    any graph scale — so this is a single partial-aggregable scan with
+    no shuffle beyond the final single-row reduce.
+    """
+    tail = hist.filter(F.col(value_col) >= d_min)
+    shift = float(d_min) - 0.5
+    return tail.agg(
+        F.round(
+            1.0
+            + F.sum(count_col)
+            / F.sum(F.col(count_col) * F.log(F.col(value_col) / shift)),
+            round_to,
+        ).alias("alpha"),
+        F.sum(count_col).cast("bigint").alias("n_tail"),
+    )
+
+
+def gini_from_histogram(
+    hist: DataFrame,
+    *,
+    value_col: str = "degree",
+    count_col: str = "n_nodes",
+    round_to: int = 6,
+) -> DataFrame:
+    """Gini coefficient of a value distribution given as a histogram —
+    ONE row (gini double). 0 = perfectly even, →1 = all mass on one
+    node; the scalar skew answer to "do we need hub salting?".
+
+    Tie-grouped rank-sum form of the classic estimator: with histogram
+    rows sorted ascending by value (d_k, c_k), cumulative counts
+    C_k = Σ_{j≤k} c_j, each tie group occupies ranks C_{k-1}+1 … C_k,
+    whose rank sum is (C_{k-1} + 1 + C_k)·c_k/2, so
+
+        G = 2·Σ_k d_k·(C_{k-1}+1+C_k)·c_k/2 / (n·Σ d·c) − (n+1)/n
+
+    Scale shape: the single-partition ordering window runs over the
+    COMPACT histogram (distinct degree values, ~O(√max_degree) rows
+    for a power law), never over per-node rows — that is the entire
+    reason this takes a histogram and not the raw degree frame.
+    """
+    from pyspark.sql import Window as _W
+
+    ranked = hist.select(
+        F.col(value_col).cast("double").alias("d"),
+        F.col(count_col).cast("double").alias("c"),
+    ).withColumn("cum", F.sum("c").over(_W.orderBy("d")))
+    return ranked.agg(
+        F.round(
+            2.0
+            * F.sum(F.col("d") * (F.col("cum") - F.col("c") + 1 + F.col("cum")) * F.col("c") / 2.0)
+            / (F.sum("c") * F.sum(F.col("d") * F.col("c")))
+            - (F.sum("c") + 1) / F.sum("c"),
+            round_to,
+        ).alias("gini")
     )
