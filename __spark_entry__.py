@@ -444,6 +444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_random_walks": lambda s, d: _q_random_walks(s, d),
         "q_ppr_batch": lambda s, d: _q_ppr_batch(s, d),
         # --- round-5 widening: behavior sequences, distribution stats, OLAP ---
+        "q_betweenness": lambda s, d: _q_betweenness(s, d),
         "q_funnel_steps": lambda s, d: _q_funnel_steps(s, d),
         "q_markov_transitions": lambda s, d: _q_markov_transitions(s, d),
         "q_session_paths": lambda s, d: _q_session_paths(s, d),
@@ -2557,6 +2558,75 @@ _URL_FEATURES_ORACLE_SQL = """
 """
 
 
+def _q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brandes betweenness from the deterministic id%13 source sample
+    (graph.centrality.betweenness_centrality): forward σ-BFS + backward
+    δ accumulation, both on the composite (source, node) key. Oracle is
+    the same recursion unrolled to depth 8 as materialized CTEs."""
+    from plwordnet_spark.graph.centrality import betweenness_centrality
+
+    edges = _derived_edges(spark, sf_dir)
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    srcs = nodes.filter(F.col("id") % 13 == 0)
+    res = betweenness_centrality(spark, edges, sources=srcs, directed=True)
+    return res.select("id", F.round("betweenness", 4).alias("betweenness"))
+
+
+def _betweenness_oracle(depth: int = 8) -> str:
+    """Unrolled Brandes for DuckDB: forward level/σ chain then backward
+    δ chain, every CTE MATERIALIZED (the memory gotcha: DuckDB re-expands
+    non-materialized CTEs exponentially in chains like this)."""
+    ctes = [
+        f"edges AS MATERIALIZED ({_EDGE_SQL_DERIVATION})",
+        "nodes AS MATERIALIZED (SELECT DISTINCT src AS id FROM edges"
+        " UNION SELECT DISTINCT dst FROM edges)",
+        "lvl0 AS MATERIALIZED (SELECT id AS s, id,"
+        " CAST(1 AS DOUBLE) AS sigma FROM nodes WHERE id % 13 = 0)",
+        "seen0 AS MATERIALIZED (SELECT s, id FROM lvl0)",
+    ]
+    for L in range(1, depth + 1):
+        ctes.append(f"""lvl{L} AS MATERIALIZED (
+            SELECT p.s, e.dst AS id, SUM(p.sigma) AS sigma
+            FROM lvl{L - 1} p JOIN edges e ON e.src = p.id
+            LEFT JOIN seen{L - 1} sn ON sn.s = p.s AND sn.id = e.dst
+            WHERE sn.id IS NULL
+            GROUP BY p.s, e.dst)""")
+        ctes.append(
+            f"seen{L} AS MATERIALIZED (SELECT s, id FROM seen{L - 1}"
+            f" UNION ALL SELECT s, id FROM lvl{L})"
+        )
+    ctes.append(
+        f"d{depth} AS MATERIALIZED (SELECT s, id,"
+        f" CAST(0 AS DOUBLE) AS delta FROM lvl{depth})"
+    )
+    for L in range(depth - 1, 0, -1):
+        ctes.append(f"""d{L} AS MATERIALIZED (
+            SELECT v.s, v.id,
+                   COALESCE(SUM(v.sigma / w.sigma
+                                * (1.0 + COALESCE(dw.delta, 0.0))), 0.0) AS delta
+            FROM lvl{L} v
+            LEFT JOIN edges e ON e.src = v.id
+            LEFT JOIN lvl{L + 1} w ON w.s = v.s AND w.id = e.dst
+            LEFT JOIN d{L + 1} dw ON dw.s = v.s AND dw.id = e.dst
+            GROUP BY v.s, v.id)""")
+    union = " UNION ALL ".join(
+        f"SELECT id, delta FROM d{L}" for L in range(1, depth + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+    alldelta AS (SELECT id, delta FROM ({union}))
+    SELECT n.id, ROUND(COALESCE(SUM(a.delta), 0.0), 4) AS betweenness
+    FROM nodes n LEFT JOIN alldelta a ON a.id = n.id
+    GROUP BY n.id"""
+    )
+
+
 def _q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered view→click→purchase funnel with first-touch attribution
     (behavior.funnel): K co-partitioned hash joins on user_id, no
@@ -3549,6 +3619,7 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem GROUP BY l_returnflag
         """,
         # --- round-5 widening: behavior sequences, distribution stats, OLAP ---
+        "q_betweenness": _betweenness_oracle(),
         "q_funnel_steps": """
             WITH s1 AS (
                 SELECT user_id, MIN(ts) AS t FROM events

@@ -42,6 +42,7 @@ from plwordnet_spark.graph.bfs import landmark_distances
 from plwordnet_spark.graph.pregel import PregelResult, PregelRunner, loop_tuning
 
 __all__ = [
+    "betweenness_centrality",
     "closeness_centrality",
     "eigenvector_centrality",
     "harmonic_centrality",
@@ -214,3 +215,151 @@ def eigenvector_centrality(
         converged=result.converged,
         metrics=result.metrics,
     )
+
+
+def betweenness_centrality(
+    spark: SparkSession,
+    edges: DataFrame,
+    sources: DataFrame | list[int] | None = None,
+    directed: bool = True,
+    max_depth: int = 64,
+) -> DataFrame:
+    """(id, betweenness) — Brandes betweenness over hop-shortest paths,
+    exact for the given source set: Σ_{s∈S} δ_s(v) with the classic
+    backward dependency accumulation (Brandes, J. Math. Sociol. 2001).
+    ``sources=None`` = all nodes (exact betweenness; test/small-graph
+    mode). A K-row sample is the standard web-scale estimator
+    (Brandes-Pich pivots): rescale by n/K outside if you need the
+    unbiased magnitude — the RANKING needs no rescale.
+
+    Reference parity: the reference exposes shortest-path analytics
+    over its relation graph through NetworkX-style accessors
+    (plwordnet_handler/base/structure/graph.py); this is the
+    web-scale restatement of ``nx.betweenness_centrality``
+    (normalized=False, endpoints excluded) for directed hop graphs.
+
+    Execution shape — two level-synchronous sweeps sharing one cached
+    edge relation, both keyed on the composite (source, node) pair
+    (the landmark-BFS machinery, so K floods share every edge scan):
+
+    * forward: level L+1 = edge-join of level L frontier, aggregated
+      per (s, v) with σ summed over level-L predecessors, anti-joined
+      against the settled set — per-level state is SPARSE (reached
+      pairs only) and each level is cached because the backward sweep
+      re-reads it.
+    * backward: δ_v = Σ_{v→w, level(w)=level(v)+1} σ_v/σ_w·(1+δ_w),
+      one join per level from the deepest up; betweenness(v) =
+      Σ_{levels ≥ 1} δ(s, v) folded map-side by id.
+
+    Cost: 2·diameter shuffle rounds; peak state Σ reached (s, v)
+    pairs ≤ n·|S| — the same envelope as |S| PageRank vectors. Skew:
+    the composite key spreads any hub across |S| shuffle keys (see
+    landmark_distances' skew note).
+    """
+    rel = edges.select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
+    ).filter(F.col("u") != F.col("v"))
+    if not directed:
+        rel = rel.unionByName(
+            rel.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+    rel = rel.distinct().repartition("u").cache()
+    rel.count()
+
+    nodes = (
+        rel.select(F.col("u").alias("id"))
+        .unionByName(rel.select(F.col("v").alias("id")))
+        .distinct()
+    )
+    if sources is None:
+        srcs = nodes.select(F.col("id").alias("s"))
+    elif isinstance(sources, DataFrame):
+        srcs = sources.select(F.col(sources.columns[0]).alias("s")).join(
+            nodes.select(F.col("id").alias("s")), "s", "left_semi"
+        )
+    else:
+        srcs = spark.createDataFrame(
+            [(int(x),) for x in sources], "s long"
+        ).join(nodes.select(F.col("id").alias("s")), "s", "left_semi")
+
+    # ---- forward sweep: per-level (s, id, sigma), sigma = #shortest paths
+    lvl0 = srcs.select(
+        "s", F.col("s").alias("id"), F.lit(1.0).alias("sigma")
+    ).cache()
+    levels = [lvl0]
+    settled = lvl0.select("s", "id")
+    cur = lvl0
+    while len(levels) <= max_depth:
+        offers = (
+            rel.join(cur.select(F.col("id").alias("u"), "s", "sigma"), "u")
+            .groupBy("s", F.col("v").alias("id"))
+            .agg(F.sum("sigma").alias("sigma"))
+        )
+        nxt = offers.join(settled, ["s", "id"], "left_anti").cache()
+        if nxt.isEmpty():
+            nxt.unpersist()
+            break
+        levels.append(nxt)
+        settled = settled.unionByName(nxt.select("s", "id"))
+        cur = nxt
+
+    # ---- backward sweep: dependency accumulation from the deepest level
+    depth = len(levels) - 1
+    delta_next: DataFrame | None = None  # δ of level L+1 (None ⇒ all zero)
+    parts: list[DataFrame] = []
+    # δ at level 0 (the sources) is excluded by Brandes and consumed by
+    # nothing shallower, so the sweep stops at level 1
+    for L in range(depth - 1, 0, -1):
+        wtab = levels[L + 1].select(
+            "s", F.col("id").alias("v"), F.col("sigma").alias("sigma_w")
+        )
+        if delta_next is not None:
+            wtab = wtab.join(
+                delta_next.select("s", F.col("id").alias("v"), "delta"),
+                ["s", "v"],
+                "left",
+            )
+        else:
+            wtab = wtab.withColumn("delta", F.lit(0.0))
+        contrib = (
+            levels[L]
+            .select(F.col("id").alias("u"), "s", "sigma")
+            .join(rel, "u")
+            .join(wtab, ["s", "v"])
+            .groupBy("s", F.col("u").alias("id"))
+            .agg(
+                F.sum(
+                    F.col("sigma")
+                    / F.col("sigma_w")
+                    * (F.lit(1.0) + F.coalesce("delta", F.lit(0.0)))
+                ).alias("delta")
+            )
+        )
+        # localCheckpoint truncates the per-level join lineage — without
+        # it the deepest-path plan nests `depth` joins deep
+        delta_next = (
+            levels[L]
+            .select("s", "id")
+            .join(contrib, ["s", "id"], "left")
+            .select("s", "id", F.coalesce("delta", F.lit(0.0)).alias("delta"))
+            .localCheckpoint(eager=True)
+        )
+        parts.append(delta_next)
+
+    if parts:
+        acc = parts[0]
+        for p in parts[1:]:
+            acc = acc.unionByName(p)
+        bc = acc.groupBy("id").agg(F.sum("delta").alias("betweenness"))
+    else:
+        bc = nodes.select("id", F.lit(0.0).alias("betweenness")).limit(0)
+    out = (
+        nodes.join(bc, "id", "left")
+        .select("id", F.coalesce("betweenness", F.lit(0.0)).alias("betweenness"))
+    )
+    # materialize before releasing the cached levels the plan reads
+    out = out.localCheckpoint(eager=True)
+    for lv in levels:
+        lv.unpersist()
+    rel.unpersist()
+    return out

@@ -97,3 +97,70 @@ def test_harmonic_scale_factor(spark):
     assert scaled.keys() == base.keys()
     for k in base:
         assert abs(scaled[k] - 3.0 * base[k]) < 1e-9
+
+
+def test_betweenness_matches_networkx_directed(spark):
+    from plwordnet_spark.graph.centrality import betweenness_centrality
+
+    edges, pairs = _random_edges(spark, seed=11, n=25, m=90)
+    exp = nx.betweenness_centrality(nx.DiGraph(sorted(pairs)), normalized=False)
+    got = {
+        r["id"]: r["betweenness"]
+        for r in betweenness_centrality(spark, edges, directed=True).collect()
+    }
+    assert set(got) == set(exp)
+    for k, v in exp.items():
+        assert got[k] == pytest.approx(v, abs=1e-9)
+
+
+def test_betweenness_matches_networkx_undirected(spark):
+    from plwordnet_spark.graph.centrality import betweenness_centrality
+
+    edges, pairs = _random_edges(spark, seed=13, n=20, m=50)
+    exp = nx.betweenness_centrality(nx.Graph(sorted(pairs)), normalized=False)
+    got = {
+        r["id"]: r["betweenness"]
+        for r in betweenness_centrality(spark, edges, directed=False).collect()
+    }
+    # undirected networkx halves pair contributions (each unordered pair
+    # counted once); the engine counts ordered pairs — exact factor 2
+    for k, v in exp.items():
+        assert got[k] == pytest.approx(2.0 * v, abs=1e-9)
+
+
+def test_betweenness_sampled_sources_partial_sums(spark):
+    from plwordnet_spark.graph.centrality import betweenness_centrality
+
+    edges, pairs = _random_edges(spark, seed=17, n=20, m=60)
+    G = nx.DiGraph(sorted(pairs))
+    srcs = sorted(G.nodes)[::3]
+    # brandes restricted to a source subset == sum of per-source deltas
+    exp: dict[int, float] = {v: 0.0 for v in G.nodes}
+    for s in srcs:
+        d = nx.algorithms.centrality.betweenness_centrality_subset(
+            G, sources=[s], targets=list(G.nodes), normalized=False
+        )
+        for v, x in d.items():
+            exp[v] += x
+    got = {
+        r["id"]: r["betweenness"]
+        for r in betweenness_centrality(
+            spark, edges, sources=[int(s) for s in srcs], directed=True
+        ).collect()
+    }
+    for k, v in exp.items():
+        assert got[k] == pytest.approx(v, abs=1e-9)
+
+
+def test_betweenness_path_graph_closed_form(spark):
+    from plwordnet_spark.graph.centrality import betweenness_centrality
+
+    # directed path 0→1→2→3→4: interior node k lies on (k)·(n−1−k) paths
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(4)], "src long, dst long"
+    )
+    got = {
+        r["id"]: r["betweenness"]
+        for r in betweenness_centrality(spark, edges, directed=True).collect()
+    }
+    assert got == {0: 0.0, 1: 3.0, 2: 4.0, 3: 3.0, 4: 0.0}
