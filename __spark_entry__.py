@@ -445,6 +445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ppr_batch": lambda s, d: _q_ppr_batch(s, d),
         # --- round-5 widening: behavior sequences, distribution stats, OLAP ---
         "q_betweenness": lambda s, d: _q_betweenness(s, d),
+        "q_mis": lambda s, d: _q_mis(s, d),
         "q_funnel_steps": lambda s, d: _q_funnel_steps(s, d),
         "q_markov_transitions": lambda s, d: _q_markov_transitions(s, d),
         "q_session_paths": lambda s, d: _q_session_paths(s, d),
@@ -2627,6 +2628,53 @@ def _betweenness_oracle(depth: int = 8) -> str:
     )
 
 
+def _q_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Luby MIS (graph.mis.maximal_independent_set) on the
+    derived graph; the oracle replays the identical mod-P congruential
+    priorities round-for-round (12 unrolled rounds ≥ observed
+    convergence), with the (p, id) struct order expressed as the
+    combined key p·2^21 + id (exact for ids < 2^21)."""
+    from plwordnet_spark.graph.mis import maximal_independent_set
+
+    return maximal_independent_set(spark, _derived_edges(spark, sf_dir))
+
+
+def _mis_oracle(rounds: int = 12, seed: int = 17) -> str:
+    from plwordnet_spark.graph.mis import MIS_A, MIS_B, MIS_P
+
+    ctes = [
+        f"dedges AS MATERIALIZED ({_EDGE_SQL_DERIVATION})",
+        "sym AS MATERIALIZED (SELECT src AS u, dst AS v FROM dedges WHERE src <> dst"
+        " UNION SELECT dst, src FROM dedges WHERE src <> dst)",
+        "act0 AS MATERIALIZED (SELECT DISTINCT src AS id FROM dedges"
+        " UNION SELECT DISTINCT dst FROM dedges)",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"prio{r} AS MATERIALIZED (SELECT id,"
+            f" ((id % {MIS_P}) * {MIS_A} + {r * MIS_B + seed}) % {MIS_P} AS p"
+            f" FROM act{r - 1})"
+        )
+        ctes.append(f"""nmin{r} AS MATERIALIZED (
+            SELECT e.u AS id, MIN(p2.p * 2097152 + p2.id) AS nbest
+            FROM sym e
+            JOIN prio{r} p1 ON p1.id = e.u
+            JOIN prio{r} p2 ON p2.id = e.v
+            GROUP BY e.u)""")
+        ctes.append(f"""win{r} AS MATERIALIZED (
+            SELECT pr.id, CAST({r} AS INTEGER) AS mis_round
+            FROM prio{r} pr LEFT JOIN nmin{r} nm ON nm.id = pr.id
+            WHERE nm.nbest IS NULL OR pr.p * 2097152 + pr.id < nm.nbest)""")
+        ctes.append(f"""act{r} AS MATERIALIZED (
+            SELECT id FROM act{r - 1}
+            EXCEPT SELECT id FROM win{r}
+            EXCEPT SELECT DISTINCT e.v FROM sym e JOIN win{r} w ON w.id = e.u)""")
+    union = " UNION ALL ".join(
+        f"SELECT id, mis_round FROM win{r}" for r in range(1, rounds + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + f" {union}"
+
+
 def _q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered view→click→purchase funnel with first-touch attribution
     (behavior.funnel): K co-partitioned hash joins on user_id, no
@@ -3620,6 +3668,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         # --- round-5 widening: behavior sequences, distribution stats, OLAP ---
         "q_betweenness": _betweenness_oracle(),
+        "q_mis": _mis_oracle(),
         "q_funnel_steps": """
             WITH s1 AS (
                 SELECT user_id, MIN(ts) AS t FROM events
