@@ -446,6 +446,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-5 widening: behavior sequences, distribution stats, OLAP ---
         "q_betweenness": lambda s, d: _q_betweenness(s, d),
         "q_mis": lambda s, d: _q_mis(s, d),
+        "q_matching": lambda s, d: _q_matching(s, d),
+        "q_stratified_sample": lambda s, d: _q_stratified_sample(s, d),
+        "q_line_dedup": lambda s, d: _q_line_dedup(s, d),
+        "q_contamination": lambda s, d: _q_contamination(s, d),
         "q_funnel_steps": lambda s, d: _q_funnel_steps(s, d),
         "q_markov_transitions": lambda s, d: _q_markov_transitions(s, d),
         "q_session_paths": lambda s, d: _q_session_paths(s, d),
@@ -2675,6 +2679,166 @@ def _mis_oracle(rounds: int = 12, seed: int = 17) -> str:
     return "WITH " + ",\n".join(ctes) + f" {union}"
 
 
+def _q_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Luby-style maximal matching
+    (graph.matching.maximal_matching) on the derived graph; the oracle
+    replays the identical per-edge congruential priorities for 30
+    unrolled rounds (>= the 24-round worst case observed across SFs;
+    post-convergence rounds are empty), with the (p, u, v) struct order
+    encoded as p*65536 + u*256 + v (exact for ids < 211 < 256)."""
+    from plwordnet_spark.graph.matching import maximal_matching
+
+    return maximal_matching(spark, _derived_edges(spark, sf_dir))
+
+
+def _matching_oracle(rounds: int = 30, seed: int = 17) -> str:
+    from plwordnet_spark.graph.matching import MATCH_A, MATCH_B, MATCH_B2, MATCH_P
+
+    ctes = [
+        f"dedges AS MATERIALIZED ({_EDGE_SQL_DERIVATION})",
+        "mact0 AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS u,"
+        " GREATEST(src, dst) AS v FROM dedges WHERE src <> dst)",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"mpr{r} AS MATERIALIZED (SELECT u, v,"
+            f" ((u % {MATCH_P}) * {MATCH_A} + (v % {MATCH_P}) * {MATCH_B2}"
+            f" + {r * MATCH_B + seed}) % {MATCH_P} AS p FROM mact{r - 1})"
+        )
+        ctes.append(f"""minc{r} AS MATERIALIZED (
+            SELECT node, MIN(p * 65536 + u * 256 + v) AS best
+            FROM (SELECT u AS node, p, u, v FROM mpr{r}
+                  UNION ALL SELECT v, p, u, v FROM mpr{r})
+            GROUP BY node)""")
+        ctes.append(f"""mwin{r} AS MATERIALIZED (
+            SELECT pr.u, pr.v, CAST({r} AS INTEGER) AS match_round
+            FROM mpr{r} pr
+            JOIN minc{r} bu ON bu.node = pr.u
+            JOIN minc{r} bv ON bv.node = pr.v
+            WHERE pr.p * 65536 + pr.u * 256 + pr.v = bu.best
+              AND pr.p * 65536 + pr.u * 256 + pr.v = bv.best)""")
+        ctes.append(f"""mact{r} AS MATERIALIZED (
+            SELECT u, v FROM mact{r - 1}
+            WHERE u NOT IN (SELECT u FROM mwin{r} UNION SELECT v FROM mwin{r})
+              AND v NOT IN (SELECT u FROM mwin{r} UNION SELECT v FROM mwin{r}))""")
+    union = " UNION ALL ".join(
+        f"SELECT u, v, match_round FROM mwin{r}" for r in range(1, rounds + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + f" {union}"
+
+
+_SAMPLE_RATES = {"en": 0.3, "zh": 0.8, "es": 0.5}
+
+
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language mixture sampling
+    (textops.sampling.stratified_sample): keep iff the portable
+    congruential draw on doc_id is under floor(rate*P); the oracle
+    compares against the identical int64 thresholds."""
+    from plwordnet_spark.textops.sampling import stratified_sample
+
+    return stratified_sample(
+        _t(spark, sf_dir, "documents"), _SAMPLE_RATES, default_rate=1.0
+    ).select("doc_id", "lang")
+
+
+def _stratified_sample_oracle(seed: int = 0) -> str:
+    from plwordnet_spark.textops.sampling import SAMPLE_A, SAMPLE_B, SAMPLE_P
+
+    cases = " ".join(
+        f"WHEN '{k}' THEN {int(v * SAMPLE_P)}" for k, v in sorted(_SAMPLE_RATES.items())
+    )
+    return f"""
+        SELECT doc_id, lang FROM documents
+        WHERE ((doc_id % {SAMPLE_P}) * {SAMPLE_A} + {SAMPLE_B + seed}) % {SAMPLE_P}
+              < CASE lang {cases} ELSE {SAMPLE_P} END
+    """
+
+
+# the documents table has no newlines, so the line-dedup contract query
+# derives deterministic pseudo-lines first: 3-token chunks joined by \n
+# (22 chunk-lines repeat >=5x at sf0.01 — a real, non-degenerate removal)
+_CHUNK_TOKENS = 3
+_LINE_MIN_COUNT = 5
+
+
+def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cross-document repeated-line removal
+    (textops.lines.line_dedup): chunk each document into 3-token
+    pseudo-lines, drop every line occurring >=5 times corpus-wide,
+    re-assemble survivors in original order."""
+    from plwordnet_spark.textops.lines import line_dedup
+
+    k = _CHUNK_TOKENS
+    docs2 = _t(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        "array_join(transform(sequence(0,"
+        f" cast(ceil(size(split(text, ' ')) / {k}.0) as int) - 1),"
+        f" i -> array_join(slice(split(text, ' '), i * {k} + 1, {k}), ' ')),"
+        " '\\n') AS text",
+    )
+    return line_dedup(docs2, min_count=_LINE_MIN_COUNT)
+
+
+def _line_dedup_oracle() -> str:
+    k = _CHUNK_TOKENS
+    return f"""
+        WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        ch AS (
+            SELECT base.doc_id, gs.i AS pos,
+                   array_to_string(base.toks[gs.i * {k} + 1 : gs.i * {k} + {k}], ' ') AS line
+            FROM base, UNNEST(generate_series(
+                0, CAST(ceil(len(base.toks) / {k}.0) AS BIGINT) - 1)) AS gs(i)
+        ),
+        bad AS (SELECT line FROM ch GROUP BY line HAVING COUNT(*) >= {_LINE_MIN_COUNT})
+        SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+        FROM ch WHERE line NOT IN (SELECT line FROM bad)
+        GROUP BY doc_id
+    """
+
+
+def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark n-gram decontamination
+    (textops.contamination.ngram_contamination): docs with
+    doc_id %% 97 == 0 stand in for the held-out eval set; every other
+    document reports its distinct-bigram overlap with that set."""
+    from plwordnet_spark.textops.contamination import ngram_contamination
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return ngram_contamination(corpus, bench, n=2)
+
+
+def _contamination_oracle(n: int = 2) -> str:
+    return f"""
+        WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        dg AS (
+            SELECT DISTINCT base.doc_id,
+                   array_to_string(base.toks[gs.i + 1 : gs.i + {n}], ' ') AS g
+            FROM base, UNNEST(generate_series(0, len(base.toks) - {n})) AS gs(i)
+            WHERE base.doc_id % 97 <> 0
+        ),
+        bg AS (
+            SELECT DISTINCT array_to_string(base.toks[gs.i + 1 : gs.i + {n}], ' ') AS g
+            FROM base, UNNEST(generate_series(0, len(base.toks) - {n})) AS gs(i)
+            WHERE base.doc_id % 97 = 0
+        ),
+        agg AS (
+            SELECT doc_id, COUNT(*) AS n_ngrams,
+                   COUNT(*) FILTER (WHERE g IN (SELECT g FROM bg)) AS n_hit
+            FROM dg GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(n_ngrams, 0) AS n_ngrams,
+               COALESCE(n_hit, 0) AS n_hit,
+               CASE WHEN COALESCE(n_ngrams, 0) = 0 THEN 0.0
+                    ELSE ROUND(n_hit * 1.0 / n_ngrams, 6) END AS contamination
+        FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+        LEFT JOIN agg USING (doc_id)
+    """
+
+
 def _q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered view→click→purchase funnel with first-touch attribution
     (behavior.funnel): K co-partitioned hash joins on user_id, no
@@ -3669,6 +3833,10 @@ def oracle_sql() -> dict[str, str]:
         # --- round-5 widening: behavior sequences, distribution stats, OLAP ---
         "q_betweenness": _betweenness_oracle(),
         "q_mis": _mis_oracle(),
+        "q_matching": _matching_oracle(),
+        "q_stratified_sample": _stratified_sample_oracle(),
+        "q_line_dedup": _line_dedup_oracle(),
+        "q_contamination": _contamination_oracle(),
         "q_funnel_steps": """
             WITH s1 AS (
                 SELECT user_id, MIN(ts) AS t FROM events

@@ -1,0 +1,79 @@
+"""Deterministic stratified sampling — training-data mixture construction.
+
+Web-scale corpora are mixed by *source strata* (language, domain,
+quality band): each stratum gets a keep-rate so the training mixture
+hits target proportions (the reference's balanced relation-split,
+datasets/balanced.py, solves the same problem for relation pairs with
+per-class caps; this is the corpus-level generalization a webtext
+pipeline needs).
+
+Sampling must be DETERMINISTIC and ENGINE-PORTABLE: a resumed or
+re-run job has to keep exactly the same rows, and the decision must
+not depend on partitioning (``F.rand`` fails both). The keep decision
+is the same mod-P congruential used by :mod:`plwordnet_spark.graph.walks`
+and :mod:`plwordnet_spark.graph.mis`:
+
+    keep(id)  iff  ((id mod P)·A + B + seed) mod P  <  floor(rate·P)
+
+Exact int64 arithmetic throughout — (P−1)·A < 2^61 — so any engine
+(the DuckDB oracle included) replays the identical sample. The hash
+input is the row's stable id, so the sample is a property of the DATA,
+not of the plan: repartition, AQE re-plans, or a different executor
+count cannot change membership.
+
+Scale shape: a single codegen'd filter over the scan — no shuffle, no
+state; predicate pushdown still applies to any other filters stacked
+on top. At 100 TB this is the cheapest possible operator.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["stratified_sample", "sample_hash", "SAMPLE_P", "SAMPLE_A", "SAMPLE_B"]
+
+SAMPLE_P = 2_147_483_647  # 2^31 − 1 (Mersenne prime)
+SAMPLE_A = 1_103_515_245  # glibc LCG multiplier
+SAMPLE_B = 12_345
+
+
+def sample_hash(id_col: Column | str, seed: int = 0) -> Column:
+    """The portable per-row draw in [0, P): exact integer arithmetic,
+    reproducible in any engine from the row id alone."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return ((c % SAMPLE_P) * F.lit(SAMPLE_A) + F.lit(SAMPLE_B + seed)) % SAMPLE_P
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: Mapping[str, float],
+    *,
+    id_col: str = "doc_id",
+    strata_col: str = "lang",
+    default_rate: float = 1.0,
+    seed: int = 0,
+) -> DataFrame:
+    """Keep each row with its stratum's probability, deterministically.
+
+    ``rates`` maps stratum value -> keep-rate in [0, 1]; strata not
+    listed use ``default_rate``. Thresholds are fixed to integers
+    (``floor(rate·P)``) on the driver so both this plan and any SQL
+    oracle compare against the identical int64 literal.
+
+    Returns ``df`` filtered — schema unchanged, no shuffle.
+    """
+
+    def _threshold(rate: float) -> int:
+        if not 0.0 <= rate <= 1.0:
+            raise ValueError(f"rate {rate!r} outside [0, 1]")
+        return int(rate * SAMPLE_P)
+
+    thresh: Column = F.lit(_threshold(default_rate))
+    for value in sorted(rates):
+        thresh = F.when(
+            F.col(strata_col) == F.lit(value), F.lit(_threshold(rates[value]))
+        ).otherwise(thresh)
+    return df.filter(sample_hash(id_col, seed) < thresh)

@@ -1,0 +1,157 @@
+"""Stratified sampling, C4 line dedup, n-gram decontamination:
+pure-python replay parity + structural properties."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import numpy as np
+
+from plwordnet_spark.textops.contamination import ngram_contamination
+from plwordnet_spark.textops.lines import line_dedup, repeated_lines
+from plwordnet_spark.textops.sampling import (
+    SAMPLE_A,
+    SAMPLE_B,
+    SAMPLE_P,
+    stratified_sample,
+)
+
+VOCAB = "alpha beta gamma delta epsilon zeta eta theta".split()
+
+
+def _docs(spark, n=80, seed=11, lines_per_doc=6, words_per_line=3):
+    rng = np.random.RandomState(seed)
+    rows = []
+    for i in range(n):
+        lines = [
+            " ".join(rng.choice(VOCAB, size=words_per_line))
+            for _ in range(lines_per_doc)
+        ]
+        if i % 4 == 0:
+            lines[2] = "cookie banner boilerplate"  # planted repeat
+        rows.append((i, "\n".join(lines), ["en", "de", "fr"][i % 3]))
+    return (
+        spark.createDataFrame(rows, "doc_id long, text string, lang string"),
+        rows,
+    )
+
+
+# --- stratified sampling -------------------------------------------------
+
+
+def _py_keep(doc_id, lang, rates, default, seed=0):
+    thresh = int(rates.get(lang, default) * SAMPLE_P)
+    return ((doc_id % SAMPLE_P) * SAMPLE_A + SAMPLE_B + seed) % SAMPLE_P < thresh
+
+
+def test_stratified_sample_matches_formula_and_is_partition_invariant(spark):
+    df, rows = _docs(spark)
+    rates = {"en": 0.25, "de": 0.75}
+    got = {
+        r["doc_id"]
+        for r in stratified_sample(df, rates, default_rate=0.5).collect()
+    }
+    want = {i for i, _, lang in rows if _py_keep(i, lang, rates, 0.5)}
+    assert got == want
+    assert want  # non-degenerate
+    assert want != {i for i, _, _ in rows}
+    got_rep = {
+        r["doc_id"]
+        for r in stratified_sample(
+            df.repartition(7, "lang"), rates, default_rate=0.5
+        ).collect()
+    }
+    assert got_rep == got
+
+
+def test_stratified_sample_rate_bounds(spark):
+    df, rows = _docs(spark, n=30)
+    assert stratified_sample(df, {"en": 0.0, "de": 0.0, "fr": 0.0}).count() == 0
+    assert stratified_sample(df, {}, default_rate=1.0).count() == len(rows)
+
+
+# --- C4 line dedup -------------------------------------------------------
+
+
+def _py_line_dedup(rows, min_count):
+    counts = Counter(
+        line for _, text, _ in rows for line in text.split("\n")
+    )
+    out = {}
+    for i, text, _ in rows:
+        kept = [l for l in text.split("\n") if counts[l] < min_count]
+        if kept:
+            out[i] = "\n".join(kept)
+    return out
+
+
+def test_line_dedup_matches_pure_python(spark):
+    df, rows = _docs(spark)
+    got = {
+        r["doc_id"]: r["text"]
+        for r in line_dedup(df, min_count=3).collect()
+    }
+    want = _py_line_dedup(rows, 3)
+    assert got == want
+    # the planted boilerplate is gone everywhere
+    assert all("cookie banner boilerplate" not in t for t in got.values())
+    # but rare lines survived
+    assert any(got[i] for i in got)
+
+
+def test_line_dedup_drops_fully_boilerplate_docs(spark):
+    rows = [(1, "same\nsame", "en"), (2, "same\nother", "en"), (3, "unique", "en")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {r["doc_id"]: r["text"] for r in line_dedup(df, min_count=2).collect()}
+    # "same" occurs 3x -> removed; doc 1 has nothing left
+    assert got == {2: "other", 3: "unique"}
+
+
+def test_repeated_lines_histogram(spark):
+    df, rows = _docs(spark)
+    got = {r["line"]: r["n"] for r in repeated_lines(df, min_count=3).collect()}
+    counts = Counter(l for _, t, _ in rows for l in t.split("\n"))
+    assert got == {l: c for l, c in counts.items() if c >= 3}
+
+
+# --- n-gram decontamination ----------------------------------------------
+
+
+def _py_ngrams(text, n):
+    toks = text.split(" ")
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def test_ngram_contamination_matches_pure_python(spark):
+    rng = np.random.RandomState(5)
+    mk = lambda k: " ".join(rng.choice(VOCAB, size=k))
+    bench_rows = [(100 + j, mk(12)) for j in range(3)]
+    doc_rows = [(i, mk(10)) for i in range(20)]
+    # plant a verbatim benchmark span inside doc 0
+    doc_rows[0] = (0, doc_rows[0][1] + " " + bench_rows[0][1])
+    docs = spark.createDataFrame(doc_rows, "doc_id long, text string")
+    bench = spark.createDataFrame(bench_rows, "doc_id long, text string")
+    n = 3
+    got = {
+        r["doc_id"]: (r["n_ngrams"], r["n_hit"], r["contamination"])
+        for r in ngram_contamination(docs, bench, n=n).collect()
+    }
+    bench_set = set().union(*(_py_ngrams(t, n) for _, t in bench_rows))
+    for i, text in doc_rows:
+        grams = _py_ngrams(text, n)
+        hits = len(grams & bench_set)
+        assert got[i][0] == len(grams)
+        assert got[i][1] == hits
+        assert abs(got[i][2] - round(hits / len(grams), 6)) < 1e-12
+    assert got[0][1] >= 10  # the planted span registered
+
+
+def test_ngram_contamination_short_doc_is_zero(spark):
+    docs = spark.createDataFrame(
+        [(1, "too short")], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame(
+        [(2, "a benchmark with enough tokens here")], "doc_id long, text string"
+    )
+    row = ngram_contamination(docs, bench, n=5).collect()[0]
+    assert (row["n_ngrams"], row["n_hit"], row["contamination"]) == (0, 0, 0.0)
