@@ -450,6 +450,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stratified_sample": lambda s, d: _q_stratified_sample(s, d),
         "q_line_dedup": lambda s, d: _q_line_dedup(s, d),
         "q_contamination": lambda s, d: _q_contamination(s, d),
+        "q_containment": lambda s, d: _q_containment(s, d),
+        "q_cooccurrence": lambda s, d: _q_cooccurrence(s, d),
+        "q_sample_per_stratum": lambda s, d: _q_sample_per_stratum(s, d),
         "q_funnel_steps": lambda s, d: _q_funnel_steps(s, d),
         "q_markov_transitions": lambda s, d: _q_markov_transitions(s, d),
         "q_session_paths": lambda s, d: _q_session_paths(s, d),
@@ -2839,6 +2842,64 @@ def _contamination_oracle(n: int = 2) -> str:
     """
 
 
+def _q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle containment (textops.dedup.
+    ngram_containment_pairs): catches quote-and-extend / wrapper pages
+    Jaccard misses; max_df effectively disabled so the oracle is exact."""
+    from plwordnet_spark.textops.dedup import ngram_containment_pairs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return ngram_containment_pairs(
+        docs, threshold=0.6, max_df=1_000_000
+    ).select(
+        "id_a",
+        "id_b",
+        F.round("cont_a", 4).alias("cont_a"),
+        F.round("cont_b", 4).alias("cont_b"),
+    )
+
+
+def _q_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence lift (behavior.cooccurrence_lift) on
+    order baskets with part-family items (l_partkey % 50)."""
+    from plwordnet_spark.behavior import cooccurrence_lift
+
+    baskets = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("basket_id"),
+        (F.col("l_partkey") % 50).cast("long").alias("item"),
+    )
+    return cooccurrence_lift(baskets, min_pairs=2).select(
+        "item_a", "item_b", "n_ab", F.round("lift", 6).alias("lift")
+    )
+
+
+def _q_sample_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-k deterministic per-language sample
+    (textops.sampling.sample_per_stratum): k smallest portable
+    congruential draws per stratum, ties by id."""
+    from plwordnet_spark.textops.sampling import sample_per_stratum
+
+    return sample_per_stratum(_t(spark, sf_dir, "documents"), 20).select(
+        "doc_id", "lang"
+    )
+
+
+def _sample_per_stratum_oracle(k: int = 20, seed: int = 0) -> str:
+    from plwordnet_spark.textops.sampling import SAMPLE_A, SAMPLE_B, SAMPLE_P
+
+    return f"""
+        SELECT doc_id, lang FROM (
+            SELECT doc_id, lang,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY lang
+                       ORDER BY ((doc_id % {SAMPLE_P}) * {SAMPLE_A}
+                                 + {SAMPLE_B + seed}) % {SAMPLE_P}, doc_id
+                   ) AS rn
+            FROM documents
+        ) WHERE rn <= {k}
+    """
+
+
 def _q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered view→click→purchase funnel with first-touch attribution
     (behavior.funnel): K co-partitioned hash joins on user_id, no
@@ -3837,6 +3898,43 @@ def oracle_sql() -> dict[str, str]:
         "q_stratified_sample": _stratified_sample_oracle(),
         "q_line_dedup": _line_dedup_oracle(),
         "q_contamination": _contamination_oracle(),
+        "q_containment": (
+            f"WITH {_JACCARD_SQL_CTES} "
+            """
+            SELECT p.id_a, p.id_b,
+                   ROUND(p.common / CAST(sa.sz AS DOUBLE), 4) AS cont_a,
+                   ROUND(p.common / CAST(sb.sz AS DOUBLE), 4) AS cont_b
+            FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+                  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2) p
+            JOIN sizes sa ON sa.doc_id = p.id_a
+            JOIN sizes sb ON sb.doc_id = p.id_b
+            WHERE greatest(p.common / CAST(sa.sz AS DOUBLE),
+                           p.common / CAST(sb.sz AS DOUBLE)) >= 0.6
+            """
+        ),
+        "q_cooccurrence": """
+            WITH items AS (
+                SELECT DISTINCT l_orderkey AS g, CAST(l_partkey % 50 AS BIGINT) AS it
+                FROM lineitem
+            ),
+            sizes AS (SELECT g FROM items GROUP BY g HAVING COUNT(*) <= 200),
+            kept AS (SELECT items.* FROM items SEMI JOIN sizes USING (g)),
+            tot AS (SELECT COUNT(DISTINCT g) AS n FROM kept),
+            item_n AS (SELECT it, COUNT(*) AS n_item FROM kept GROUP BY it),
+            pairs AS (
+                SELECT a.it AS item_a, b.it AS item_b, COUNT(*) AS n_ab
+                FROM kept a JOIN kept b ON a.g = b.g AND a.it < b.it
+                GROUP BY 1, 2 HAVING COUNT(*) >= 2
+            )
+            SELECT item_a, item_b, n_ab,
+                   ROUND(n_ab * tot.n * 1.0 / (na.n_item * nb.n_item), 6) AS lift
+            FROM pairs
+            JOIN item_n na ON na.it = pairs.item_a
+            JOIN item_n nb ON nb.it = pairs.item_b
+            CROSS JOIN tot
+        """,
+        "q_sample_per_stratum": _sample_per_stratum_oracle(),
         "q_funnel_steps": """
             WITH s1 AS (
                 SELECT user_id, MIN(ts) AS t FROM events

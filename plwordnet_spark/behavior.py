@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-__all__ = ["funnel", "markov_transitions", "top_paths"]
+__all__ = ["funnel", "markov_transitions", "top_paths", "cooccurrence_lift"]
 
 
 def funnel(
@@ -160,4 +160,65 @@ def top_paths(
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
         .orderBy(F.desc("n_occurrences"), "path")
         .limit(n)
+    )
+
+
+def cooccurrence_lift(
+    baskets: DataFrame,
+    *,
+    group_col: str = "basket_id",
+    item_col: str = "item",
+    min_pairs: int = 2,
+    max_basket_size: int = 200,
+) -> DataFrame:
+    """Market-basket co-occurrence with lift (association-rule mining's
+    support/lift core, Agrawal–Srikant 1994 flavored for DataFrames).
+
+    For every unordered item pair (a < b): ``n_ab`` = baskets holding
+    both, ``lift`` = P(ab) / (P(a)·P(b)) = n_ab·N / (n_a·n_b) with N =
+    total baskets. Lift > 1 ⇒ the items attract; < 1 ⇒ repel. On a
+    link-graph payload the same shape mines domains co-linked by the
+    same page or products co-ordered.
+
+    Scale shape: the pair generator is a self-join WITHIN basket, so
+    cost is Σ|basket|² — quadratic in basket size, linear in baskets.
+    ``max_basket_size`` drops pathological mega-baskets (the exact
+    hub-cap contract linkpred/cocitation use: named, bounded, and
+    reported by the caller's diff if it matters). ``min_pairs`` floors
+    support so the output is the interesting head, not |items|² noise.
+
+    Returns (item_a, item_b, n_ab, lift) — lift as a raw double; round
+    at the presentation edge.
+    """
+    items = baskets.select(
+        F.col(group_col).alias("g"), F.col(item_col).alias("it")
+    ).distinct()
+    sizes = items.groupBy("g").agg(F.count(F.lit(1)).alias("bsz"))
+    items = items.join(
+        sizes.filter(F.col("bsz") <= max_basket_size).select("g"), "g", "left_semi"
+    )
+    n_total = items.select("g").distinct().count()
+    item_n = items.groupBy("it").agg(F.count(F.lit(1)).alias("n_item"))
+    a = items.select("g", F.col("it").alias("item_a"))
+    b = items.select("g", F.col("it").alias("item_b"))
+    pairs = (
+        a.join(b, "g")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= min_pairs)
+    )
+    na = item_n.select(F.col("it").alias("item_a"), F.col("n_item").alias("n_a"))
+    nb = item_n.select(F.col("it").alias("item_b"), F.col("n_item").alias("n_b"))
+    return (
+        pairs.join(na, "item_a")
+        .join(nb, "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            "n_ab",
+            (F.col("n_ab") * F.lit(n_total) / (F.col("n_a") * F.col("n_b"))).alias(
+                "lift"
+            ),
+        )
     )

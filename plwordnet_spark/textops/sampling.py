@@ -33,7 +33,14 @@ from typing import Mapping
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["stratified_sample", "sample_hash", "SAMPLE_P", "SAMPLE_A", "SAMPLE_B"]
+__all__ = [
+    "stratified_sample",
+    "sample_per_stratum",
+    "sample_hash",
+    "SAMPLE_P",
+    "SAMPLE_A",
+    "SAMPLE_B",
+]
 
 SAMPLE_P = 2_147_483_647  # 2^31 − 1 (Mersenne prime)
 SAMPLE_A = 1_103_515_245  # glibc LCG multiplier
@@ -77,3 +84,34 @@ def stratified_sample(
             F.col(strata_col) == F.lit(value), F.lit(_threshold(rates[value]))
         ).otherwise(thresh)
     return df.filter(sample_hash(id_col, seed) < thresh)
+
+
+def sample_per_stratum(
+    df: DataFrame,
+    k: int,
+    *,
+    id_col: str = "doc_id",
+    strata_col: str = "lang",
+    seed: int = 0,
+) -> DataFrame:
+    """Exactly (up to) ``k`` rows PER STRATUM, deterministically.
+
+    Rate-based sampling (:func:`stratified_sample`) yields binomial
+    strata sizes; eval-set carving and per-source quota fills need a
+    FIXED count. Rows are ranked inside each stratum by the portable
+    congruential draw (ties broken by id — a total order), and the k
+    smallest win: the same rows on any engine, any partitioning, any
+    prefix of the data that contains them.
+
+    One shuffle on ``strata_col``; the rank window prunes in-shuffle
+    (WindowGroupLimit pushes the k-filter into the sort), so a 100 TB
+    stratum never materializes fully sorted.
+    """
+    from pyspark.sql import Window as W
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    rn = F.row_number().over(
+        W.partitionBy(strata_col).orderBy(sample_hash(id_col, seed), F.col(id_col))
+    )
+    return df.withColumn("_rn", rn).filter(F.col("_rn") <= k).drop("_rn")

@@ -114,3 +114,45 @@ def test_powerlaw_alpha_dmin_filters_tail(spark):
     row = powerlaw_alpha(hist, d_min=2).collect()[0]
     assert row["n_tail"] == n_tail
     assert row["alpha"] == pytest.approx(expected, abs=1e-6)
+
+
+def test_cooccurrence_lift_matches_pure_python(spark):
+    from plwordnet_spark.behavior import cooccurrence_lift
+
+    rows = [
+        (1, "a"), (1, "b"), (1, "c"),
+        (2, "a"), (2, "b"),
+        (3, "a"), (3, "c"),
+        (4, "b"), (4, "c"), (4, "c"),  # dup item in basket collapses
+        (5, "d"),
+    ]
+    df = spark.createDataFrame(rows, "basket_id long, item string")
+    got = {
+        (r["item_a"], r["item_b"]): (r["n_ab"], r["lift"])
+        for r in cooccurrence_lift(df, min_pairs=1).collect()
+    }
+    from collections import Counter
+    from itertools import combinations
+
+    baskets = {}
+    for g, it in rows:
+        baskets.setdefault(g, set()).add(it)
+    N = len(baskets)
+    item_n = Counter(it for s in baskets.values() for it in s)
+    pair_n = Counter(
+        p for s in baskets.values() for p in combinations(sorted(s), 2)
+    )
+    for (a, b), nab in pair_n.items():
+        assert got[(a, b)][0] == nab
+        assert abs(got[(a, b)][1] - nab * N / (item_n[a] * item_n[b])) < 1e-12
+    assert got.keys() == set(pair_n)
+
+
+def test_cooccurrence_lift_caps_mega_baskets_and_floors_support(spark):
+    from plwordnet_spark.behavior import cooccurrence_lift
+
+    rows = [(1, f"i{k}") for k in range(10)] + [(2, "x"), (2, "y"), (3, "x"), (3, "y")]
+    df = spark.createDataFrame(rows, "basket_id long, item string")
+    got = cooccurrence_lift(df, min_pairs=2, max_basket_size=5).collect()
+    # basket 1 (10 items) dropped by the cap; (x,y) co-occurs twice
+    assert {(r["item_a"], r["item_b"], r["n_ab"]) for r in got} == {("x", "y", 2)}

@@ -155,3 +155,94 @@ def test_ngram_contamination_short_doc_is_zero(spark):
     )
     row = ngram_contamination(docs, bench, n=5).collect()[0]
     assert (row["n_ngrams"], row["n_hit"], row["contamination"]) == (0, 0, 0.0)
+
+
+# --- fixed-k per-stratum sampling ----------------------------------------
+
+
+def test_sample_per_stratum_exact_k_and_deterministic(spark):
+    df, rows = _docs(spark)
+    from plwordnet_spark.textops.sampling import sample_per_stratum, sample_hash
+
+    got = sample_per_stratum(df, 5).collect()
+    by_lang = {}
+    for r in got:
+        by_lang.setdefault(r["lang"], set()).add(r["doc_id"])
+    # exactly 5 per stratum (every stratum has >5 rows here)
+    assert {len(v) for v in by_lang.values()} == {5}
+    # replay: k smallest (hash, id) per stratum
+    def h(i):
+        return ((i % SAMPLE_P) * SAMPLE_A + SAMPLE_B) % SAMPLE_P
+
+    want = {}
+    for i, _, lang in rows:
+        want.setdefault(lang, []).append((h(i), i))
+    for lang, lst in want.items():
+        assert by_lang[lang] == {i for _, i in sorted(lst)[:5]}
+    # partition invariance
+    got2 = sample_per_stratum(df.repartition(13), 5).collect()
+    assert {(r["doc_id"], r["lang"]) for r in got2} == {
+        (r["doc_id"], r["lang"]) for r in got
+    }
+
+
+def test_sample_per_stratum_small_stratum_keeps_all(spark):
+    df = spark.createDataFrame(
+        [(1, "x", "rare"), (2, "y", "rare")], "doc_id long, text string, lang string"
+    )
+    from plwordnet_spark.textops.sampling import sample_per_stratum
+
+    assert sample_per_stratum(df, 10).count() == 2
+
+
+# --- shingle containment ---------------------------------------------------
+
+
+def test_ngram_containment_detects_wrapped_quote(spark):
+    from plwordnet_spark.textops.dedup import ngram_containment_pairs
+
+    rng = np.random.RandomState(9)
+    mk = lambda k: " ".join(rng.choice(VOCAB, size=k))
+    short = mk(8)
+    rows = [(0, short), (1, "intro words here " + short + " outro trailing words"),
+            (2, mk(30)), (3, mk(30))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): (r["cont_a"], r["cont_b"])
+        for r in ngram_containment_pairs(df, threshold=0.9).collect()
+    }
+    assert (0, 1) in got
+    ca, cb = got[(0, 1)]
+    assert ca == 1.0  # every shingle of the quote is inside the wrapper
+    assert cb < 0.9  # but the wrapper is NOT contained in the quote
+    assert all(p == (0, 1) for p in got)
+
+
+def test_ngram_containment_matches_pure_python(spark):
+    from plwordnet_spark.textops.dedup import ngram_containment_pairs
+
+    rng = np.random.RandomState(3)
+    mk = lambda k: " ".join(rng.choice(VOCAB[:4], size=k))
+    rows = [(i, mk(12)) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def sh(t):
+        ws = t.split(" ")
+        return {" ".join(ws[i : i + 3]) for i in range(max(len(ws) - 3, 0) + 1)}
+
+    want = {}
+    for i, ta in rows:
+        for j, tb in rows:
+            if i < j:
+                A, B = sh(ta), sh(tb)
+                c = len(A & B)
+                if c and max(c / len(A), c / len(B)) >= 0.5:
+                    want[(i, j)] = (c / len(A), c / len(B))
+    got = {
+        (r["id_a"], r["id_b"]): (r["cont_a"], r["cont_b"])
+        for r in ngram_containment_pairs(df, threshold=0.5).collect()
+    }
+    assert got.keys() == want.keys()
+    for k in want:
+        assert abs(got[k][0] - want[k][0]) < 1e-12
+        assert abs(got[k][1] - want[k][1]) < 1e-12
