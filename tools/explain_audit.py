@@ -228,6 +228,39 @@ def main() -> int:
              or "ShuffledHashJoin" in aplan),
     )
 
+    # 15. stratified sampling is a pure scan-side filter: no exchange, no
+    # join, and the scan reads only the projected columns
+    from plwordnet_spark.textops.sampling import sample_per_stratum, stratified_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    splan = plan_of(
+        stratified_sample(docs, {"en": 0.3}, default_rate=0.5).select("doc_id", "lang")
+    )
+    check(
+        "stratified sample is a zero-shuffle scan-side filter",
+        "Exchange" not in splan
+        and "Join" not in splan
+        and "doc_id:bigint,lang:string" in splan.replace(" ", ""),
+    )
+
+    # 16. fixed-k stratum sample prunes inside the shuffle: the rank
+    # filter runs as WindowGroupLimit below the full window sort
+    kplan = plan_of(sample_per_stratum(docs, 10).select("doc_id", "lang"))
+    check(
+        "per-stratum top-k sample uses in-shuffle WindowGroupLimit",
+        "WindowGroupLimit" in kplan,
+    )
+
+    # 17. C4 line dedup: the over-represented-line set joins back as a
+    # broadcast anti-join (never shuffles the exploded corpus on line)
+    from plwordnet_spark.textops.lines import line_dedup
+
+    lplan = plan_of(line_dedup(docs.withColumn("text", F.col("text"))))
+    check(
+        "line-dedup anti-join broadcasts the bad-line set",
+        "BroadcastHashJoin" in lplan and "LeftAnti" in lplan,
+    )
+
     print()
     print("=== sample plans ===")
     for title, p in (("pushdown", plan), ("gather", gplan)):
