@@ -442,6 +442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_asof_join": lambda s, d: _q_asof_join(s, d),
         "q_range_join": lambda s, d: _q_range_join(s, d),
         "q_random_walks": lambda s, d: _q_random_walks(s, d),
+        "q_skipgram": lambda s, d: _q_skipgram(s, d),
         "q_ppr_batch": lambda s, d: _q_ppr_batch(s, d),
         # --- round-5 widening: behavior sequences, distribution stats, OLAP ---
         "q_betweenness": lambda s, d: _q_betweenness(s, d),
@@ -600,6 +601,19 @@ def _q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("step").cast("long").alias("step"),
         "node",
     )
+
+
+def _q_skipgram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram training pairs from the deterministic walk corpus
+    (graph.walks.skipgram_pairs over the q_random_walks walks,
+    window=2): the DeepWalk/node2vec data-prep step. The oracle
+    replays the identical walks (shared recursive CTE) and pairs
+    positions at distance 1..2 in both orientations."""
+    from plwordnet_spark.graph.walks import random_walks, skipgram_pairs
+
+    edges = _derived_weighted_edges(spark, sf_dir)
+    walks = random_walks(spark, edges, walk_length=6, walks_per_node=2, seed=5)
+    return skipgram_pairs(walks, window=2)
 
 
 def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2978,6 +2992,49 @@ def _q_pivot_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WALKS_RECURSIVE_SQL = f"""
+WITH RECURSIVE edges AS MATERIALIZED (
+                {_WEIGHTED_EDGE_SQL_DERIVATION}
+            ),
+            cdf AS MATERIALIZED (
+                SELECT src, dst,
+                       (SUM(w) OVER (PARTITION BY src ORDER BY dst) - w)
+                         / SUM(w) OVER (PARTITION BY src) AS cdf_lo,
+                       SUM(w) OVER (PARTITION BY src ORDER BY dst)
+                         / SUM(w) OVER (PARTITION BY src) AS cdf_hi
+                FROM edges
+            ),
+            starts AS (SELECT DISTINCT src AS start FROM edges),
+            -- u(start, walk, step): the engine's mod-p congruential
+            -- sampler (graph/walks.py walk_u_expr), seed=5 ->
+            -- (5*104729 + 12345) % 1000003 = 535990
+            walk(start, walk, step, node) AS (
+                SELECT start, k.walk, CAST(0 AS BIGINT), start
+                FROM starts,
+                     (SELECT UNNEST(range(2)) AS walk) k
+                UNION ALL
+                SELECT w.start, w.walk, w.step + 1, c.dst
+                FROM walk w
+                JOIN cdf c ON c.src = w.node
+                WHERE w.step < 6
+                  AND c.cdf_lo <= CAST((((
+                        (w.start % 1000003) * 743177
+                        + (w.walk * 15485863) % 1000003
+                        + ((w.step + 1) * 499979) % 1000003
+                        + 535990
+                      ) % 1000003) * 499979 + 12345) % 1000003 AS DOUBLE)
+                      / 1000003
+                  AND CAST((((
+                        (w.start % 1000003) * 743177
+                        + (w.walk * 15485863) % 1000003
+                        + ((w.step + 1) * 499979) % 1000003
+                        + 535990
+                      ) % 1000003) * 499979 + 12345) % 1000003 AS DOUBLE)
+                      / 1000003 < c.cdf_hi
+            )
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "q_scan_filter_project": """
@@ -3589,46 +3646,22 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY l.nbr, r.nbr
         """,
         "q_random_walks": f"""
-            WITH RECURSIVE edges AS MATERIALIZED (
-                {_WEIGHTED_EDGE_SQL_DERIVATION}
-            ),
-            cdf AS MATERIALIZED (
-                SELECT src, dst,
-                       (SUM(w) OVER (PARTITION BY src ORDER BY dst) - w)
-                         / SUM(w) OVER (PARTITION BY src) AS cdf_lo,
-                       SUM(w) OVER (PARTITION BY src ORDER BY dst)
-                         / SUM(w) OVER (PARTITION BY src) AS cdf_hi
-                FROM edges
-            ),
-            starts AS (SELECT DISTINCT src AS start FROM edges),
-            -- u(start, walk, step): the engine's mod-p congruential
-            -- sampler (graph/walks.py walk_u_expr), seed=5 ->
-            -- (5*104729 + 12345) % 1000003 = 535990
-            walk(start, walk, step, node) AS (
-                SELECT start, k.walk, CAST(0 AS BIGINT), start
-                FROM starts,
-                     (SELECT UNNEST(range(2)) AS walk) k
-                UNION ALL
-                SELECT w.start, w.walk, w.step + 1, c.dst
-                FROM walk w
-                JOIN cdf c ON c.src = w.node
-                WHERE w.step < 6
-                  AND c.cdf_lo <= CAST((((
-                        (w.start % 1000003) * 743177
-                        + (w.walk * 15485863) % 1000003
-                        + ((w.step + 1) * 499979) % 1000003
-                        + 535990
-                      ) % 1000003) * 499979 + 12345) % 1000003 AS DOUBLE)
-                      / 1000003
-                  AND CAST((((
-                        (w.start % 1000003) * 743177
-                        + (w.walk * 15485863) % 1000003
-                        + ((w.step + 1) * 499979) % 1000003
-                        + 535990
-                      ) % 1000003) * 499979 + 12345) % 1000003 AS DOUBLE)
-                      / 1000003 < c.cdf_hi
-            )
+            {_WALKS_RECURSIVE_SQL}
             SELECT start, walk, step, node FROM walk
+        """,
+        "q_skipgram": f"""
+            {_WALKS_RECURSIVE_SQL},
+            sel AS (
+                SELECT a.node AS na, b.node AS nb
+                FROM walk a
+                JOIN walk b
+                  ON b.start = a.start AND b.walk = a.walk
+                 AND b.step BETWEEN a.step + 1 AND a.step + 2
+            )
+            SELECT center, context, COUNT(*) AS n
+            FROM (SELECT na AS center, nb AS context FROM sel
+                  UNION ALL SELECT nb, na FROM sel)
+            GROUP BY center, context
         """,
         "q_asof_join": """
             WITH clicks AS (

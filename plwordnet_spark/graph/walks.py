@@ -48,7 +48,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-__all__ = ["random_walks", "walk_u_expr"]
+__all__ = ["random_walks", "skipgram_pairs", "walk_u_expr"]
 
 _P = 1_000_003
 _R1 = 743_177
@@ -152,3 +152,41 @@ def random_walks(
         )
     cdf.unpersist()
     return out
+
+
+def skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
+    """(center, context, n) skip-gram co-occurrence pairs from a walk
+    corpus — the DeepWalk/node2vec training-data step (Perozzi et al.
+    KDD'14 §4.2): within each walk sequence, every pair of nodes at
+    distance 1..``window`` co-occurs, in BOTH orientations (the
+    word2vec window is symmetric).
+
+    Input is :func:`random_walks` output (start, walk, step, node);
+    ``n`` is the pair's multiplicity over the whole corpus (keep it —
+    SGNS consumes weighted pairs; divide by it to de-duplicate).
+
+    Shape: one shuffle on (start, walk) for the window pass — ``window``
+    ``lead`` columns materialize per row, exploded and mirrored, then a
+    partial-agg count. No self-join: the walk corpus (N·walks·length
+    rows, the 100 TB side at scale) is scanned once.
+    """
+    from pyspark.sql import Window as W
+
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    spec = W.partitionBy("start", "walk").orderBy("step")
+    leads = [F.lead("node", k).over(spec).alias(f"_l{k}") for k in range(1, window + 1)]
+    fwd = (
+        walks.select("node", *leads)
+        .select(
+            F.col("node").alias("center"),
+            F.explode(F.array(*[F.col(f"_l{k}") for k in range(1, window + 1)])).alias(
+                "context"
+            ),
+        )
+        .filter(F.col("context").isNotNull())
+    )
+    both = fwd.unionByName(
+        fwd.select(F.col("context").alias("center"), F.col("center").alias("context"))
+    )
+    return both.groupBy("center", "context").agg(F.count(F.lit(1)).alias("n"))

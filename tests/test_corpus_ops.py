@@ -246,3 +246,43 @@ def test_ngram_containment_matches_pure_python(spark):
     for k in want:
         assert abs(got[k][0] - want[k][0]) < 1e-12
         assert abs(got[k][1] - want[k][1]) < 1e-12
+
+
+# --- skip-gram pairs from walks -------------------------------------------
+
+
+def test_skipgram_pairs_matches_enumeration(spark):
+    from plwordnet_spark.graph.walks import skipgram_pairs
+
+    seqs = {(0, 0): [5, 6, 7, 8], (0, 1): [5, 9], (1, 0): [3]}
+    rows = [
+        (s, w, i, node)
+        for (s, w), nodes in seqs.items()
+        for i, node in enumerate(nodes)
+    ]
+    walks = spark.createDataFrame(rows, "start long, walk long, step long, node long")
+    for window in (1, 2, 3):
+        got = {
+            (r["center"], r["context"]): r["n"]
+            for r in skipgram_pairs(walks, window=window).collect()
+        }
+        want = Counter()
+        for nodes in seqs.values():
+            for i in range(len(nodes)):
+                for j in range(i + 1, min(i + window, len(nodes) - 1) + 1):
+                    want[(nodes[i], nodes[j])] += 1
+                    want[(nodes[j], nodes[i])] += 1
+        assert got == dict(want), f"window={window}"
+
+
+def test_skipgram_pairs_counts_multiplicity(spark):
+    from plwordnet_spark.graph.walks import skipgram_pairs
+
+    # the same hop appears in two walks -> n == 2 for the mirrored pair
+    rows = [(0, 0, 0, 1), (0, 0, 1, 2), (0, 1, 0, 1), (0, 1, 1, 2)]
+    walks = spark.createDataFrame(rows, "start long, walk long, step long, node long")
+    got = {
+        (r["center"], r["context"]): r["n"]
+        for r in skipgram_pairs(walks, window=2).collect()
+    }
+    assert got == {(1, 2): 2, (2, 1): 2}
