@@ -253,6 +253,56 @@ def cmd_dedup(args) -> int:
     return 0
 
 
+def cmd_corpus_clean(args) -> int:
+    """Training-corpus prep pipeline: C4 line dedup → benchmark
+    decontamination → deterministic stratified sampling, with a
+    per-stage count report (the corpus-level composition of
+    textops.lines / textops.contamination / textops.sampling)."""
+    spark = get_spark("cli-corpus-clean", master=args.master)
+    from pyspark.sql import functions as F
+
+    from plwordnet_spark.textops.contamination import ngram_contamination
+    from plwordnet_spark.textops.lines import line_dedup
+    from plwordnet_spark.textops.sampling import stratified_sample
+
+    docs = spark.read.parquet(args.documents)
+    report: dict = {"input": docs.count()}
+
+    if args.line_min_count > 0:
+        cleaned = line_dedup(docs.select("doc_id", "text"),
+                             min_count=args.line_min_count)
+        docs = docs.drop("text").join(cleaned, "doc_id")
+        report["after_line_dedup"] = docs.count()
+
+    if args.benchmark:
+        bench = spark.read.parquet(args.benchmark)
+        cont = ngram_contamination(docs, bench, n=args.ngram)
+        clean_ids = cont.filter(
+            F.col("contamination") < args.max_contamination
+        ).select("doc_id")
+        report["contaminated_dropped"] = report.get(
+            "after_line_dedup", report["input"]
+        ) - clean_ids.count()
+        docs = docs.join(clean_ids, "doc_id", "left_semi")
+
+    if args.rates:
+        rates = {
+            k: float(v)
+            for k, v in (kv.split("=", 1) for kv in args.rates.split(","))
+        }
+        docs = stratified_sample(
+            docs, rates, strata_col=args.strata_col,
+            default_rate=args.default_rate, seed=args.seed,
+        )
+        report["sampled"] = docs.count()
+
+    if args.output:
+        docs.write.mode("overwrite").parquet(args.output)
+    print(json.dumps(report))
+    spark.stop()
+    return 0
+
+
 def cmd_spam_mass(args) -> int:
     """TrustRank spam mass over a built graph: PR vs seeded-trust rank
     per page (graph/trustrank.py); seeds = the trusted whitelist."""
@@ -431,6 +481,21 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--documents", required=True)
     p.add_argument("--rsd", type=float, default=0.02)
     p.set_defaults(fn=cmd_profile)
+
+    p = sub.add_parser("corpus-clean"); _add_common(p)
+    p.add_argument("--documents", required=True)
+    p.add_argument("--line-min-count", type=int, default=0,
+                   help="drop lines repeated this often corpus-wide (0 = skip)")
+    p.add_argument("--benchmark", default=None,
+                   help="parquet of held-out docs to decontaminate against")
+    p.add_argument("--ngram", type=int, default=13)
+    p.add_argument("--max-contamination", type=float, default=0.2)
+    p.add_argument("--rates", default=None,
+                   help="per-stratum keep-rates, e.g. en=0.3,de=0.8")
+    p.add_argument("--strata-col", default="lang")
+    p.add_argument("--default-rate", type=float, default=1.0)
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(fn=cmd_corpus_clean)
 
     p = sub.add_parser("dedup"); _add_common(p)
     p.add_argument("--documents", required=True)

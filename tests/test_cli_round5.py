@@ -64,3 +64,40 @@ def test_cli_spam_mass_and_resolve_chains(spark, tmp_path, capsys):
     got = {r["src"]: (r["final_dst"], r["hops"], r["is_cycle"]) for r in res}
     assert got[1] == (6, 5, False)
     assert got[10] == (None, None, True)
+
+
+def test_cli_corpus_clean_pipeline(spark, tmp_path, capsys):
+    rows = []
+    for i in range(60):
+        boiler = "accept cookies to continue\n" if i % 2 == 0 else ""
+        body = f"{boiler}unique line alpha {i}\nunique line beta {i} tail words"
+        rows.append((i, body, ["en", "de"][i % 2]))
+    docs_path = str(tmp_path / "docs")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    ).write.parquet(docs_path)
+    # benchmark shares doc 7's exact text -> doc 7 gets decontaminated away
+    bench_path = str(tmp_path / "bench")
+    spark.createDataFrame(
+        [(1000, rows[7][1].replace("\n", " "))], "doc_id long, text string"
+    ).write.parquet(bench_path)
+
+    out = str(tmp_path / "clean")
+    assert cli.main([
+        "corpus-clean", "--documents", docs_path,
+        "--line-min-count", "5", "--benchmark", bench_path,
+        "--ngram", "3", "--max-contamination", "0.5",
+        "--rates", "en=1.0,de=1.0", "--output", out,
+    ]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["input"] == 60
+    assert rep["after_line_dedup"] == 60  # unique lines keep every doc
+    assert rep["contaminated_dropped"] == 1  # doc 7
+    assert rep["sampled"] == 59
+    kept = pq.read_table(sorted(glob.glob(f"{out}/*.parquet"))[0])
+    texts = dict(zip(kept.column("doc_id").to_pylist(),
+                     kept.column("text").to_pylist()))
+    assert 7 not in texts
+    # boilerplate line stripped from every surviving even doc
+    assert all("accept cookies" not in t for t in texts.values())
+    assert all(t for t in texts.values())
