@@ -451,6 +451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_stratified_sample": lambda s, d: _q_stratified_sample(s, d),
         "q_line_dedup": lambda s, d: _q_line_dedup(s, d),
         "q_contamination": lambda s, d: _q_contamination(s, d),
+        "q_repetition": lambda s, d: _q_repetition(s, d),
         "q_containment": lambda s, d: _q_containment(s, d),
         "q_cooccurrence": lambda s, d: _q_cooccurrence(s, d),
         "q_sample_per_stratum": lambda s, d: _q_sample_per_stratum(s, d),
@@ -2856,6 +2857,85 @@ def _contamination_oracle(n: int = 2) -> str:
     """
 
 
+def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher within-document repetition signals
+    (textops.repetition.repetition_features): duplicate-token and
+    duplicate-n-gram character fractions per document. The synthetic
+    docs are single-line, so ``line_delim=' '`` makes each token a
+    'line' and exercises the line-duplication metrics too."""
+    from plwordnet_spark.textops.repetition import repetition_features
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return repetition_features(
+        docs, top_ns=(2,), dup_ns=(3,), line_delim=" "
+    ).select(
+        "doc_id",
+        "dup_line_frac",
+        "dup_line_char_frac",
+        "top_2gram_char_frac",
+        "dup_3gram_char_frac",
+    )
+
+
+def _repetition_oracle() -> str:
+    return """
+        WITH base AS (
+            SELECT doc_id, length(text) AS total,
+                   list_filter(string_split(text, ' '), l -> len(l) > 0) AS toks
+            FROM documents
+        ),
+        lineagg AS (
+            SELECT doc_id, total, len(toks) AS n_lines,
+                   len(list_distinct(toks)) AS n_distinct,
+                   list_sum(list_transform(toks, l -> len(l))) AS line_chars,
+                   list_sum(list_transform(list_distinct(toks), l -> len(l)))
+                       AS distinct_line_chars
+            FROM base
+        ),
+        g2 AS (
+            SELECT base.doc_id,
+                   array_to_string(base.toks[gs.i + 1 : gs.i + 2], ' ') AS g
+            FROM base, UNNEST(generate_series(0, len(base.toks) - 2)) AS gs(i)
+        ),
+        c2 AS (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY 1, 2),
+        top2 AS (
+            SELECT doc_id, c * len(g) AS chars
+            FROM (SELECT doc_id, g, c,
+                         row_number() OVER (PARTITION BY doc_id
+                                            ORDER BY c DESC, g ASC) AS rn
+                  FROM c2)
+            WHERE rn = 1
+        ),
+        g3 AS (
+            SELECT base.doc_id,
+                   array_to_string(base.toks[gs.i + 1 : gs.i + 3], ' ') AS g
+            FROM base, UNNEST(generate_series(0, len(base.toks) - 3)) AS gs(i)
+        ),
+        dup3 AS (
+            SELECT doc_id, SUM(chars) AS chars FROM (
+                SELECT doc_id, COUNT(*) * len(g) AS chars
+                FROM g3 GROUP BY doc_id, g HAVING COUNT(*) >= 2
+            ) GROUP BY doc_id
+        )
+        SELECT l.doc_id,
+               ROUND(CASE WHEN l.n_lines > 0
+                     THEN (l.n_lines - l.n_distinct) * 1.0 / l.n_lines
+                     ELSE 0.0 END, 6) AS dup_line_frac,
+               ROUND(CASE WHEN l.total > 0
+                     THEN (l.line_chars - l.distinct_line_chars) * 1.0 / l.total
+                     ELSE 0.0 END, 6) AS dup_line_char_frac,
+               ROUND(CASE WHEN l.total > 0
+                     THEN COALESCE(t.chars, 0) * 1.0 / l.total
+                     ELSE 0.0 END, 6) AS top_2gram_char_frac,
+               ROUND(CASE WHEN l.total > 0
+                     THEN COALESCE(d.chars, 0) * 1.0 / l.total
+                     ELSE 0.0 END, 6) AS dup_3gram_char_frac
+        FROM lineagg l
+        LEFT JOIN top2 t USING (doc_id)
+        LEFT JOIN dup3 d USING (doc_id)
+    """
+
+
 def _q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric shingle containment (textops.dedup.
     ngram_containment_pairs): catches quote-and-extend / wrapper pages
@@ -3931,6 +4011,7 @@ def oracle_sql() -> dict[str, str]:
         "q_stratified_sample": _stratified_sample_oracle(),
         "q_line_dedup": _line_dedup_oracle(),
         "q_contamination": _contamination_oracle(),
+        "q_repetition": _repetition_oracle(),
         "q_containment": (
             f"WITH {_JACCARD_SQL_CTES} "
             """
