@@ -371,6 +371,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_connected_components": lambda s, d: _q_connected_components(s, d),
         "q_reciprocity": lambda s, d: _q_reciprocity(s, d),
         "q_assortativity": lambda s, d: _q_assortativity(s, d),
+        "q_conductance": lambda s, d: _q_conductance(s, d),
+        "q_rich_club": lambda s, d: _q_rich_club(s, d),
+        "q_avg_nbr_degree": lambda s, d: _q_avg_nbr_degree(s, d),
         "q_scc": lambda s, d: _q_scc(s, d),
         "q_bowtie": lambda s, d: _q_bowtie(s, d),
         # --- graph rows-only (iterative; golden-tested in tests/) ---
@@ -964,6 +967,46 @@ def _q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from plwordnet_spark.graph.structure import degree_assortativity
 
     return degree_assortativity(_struct_edges(spark, sf_dir))
+
+
+_CONDUCTANCE_COMM_MOD = 7
+_RICH_CLUB_KS = [0, 1, 2, 4, 8]
+
+
+def _q_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-community conductance (graph/stats.py conductance) of the
+    id%7 partition over the structure graph — the sweep-cut quality
+    gate complementing q_modularity's single global score."""
+    from plwordnet_spark.graph.stats import conductance
+
+    edges = _struct_edges(spark, sf_dir)
+    ids = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    comm = ids.select(
+        "id", (F.col("id") % _CONDUCTANCE_COMM_MOD).alias("community")
+    )
+    return conductance(edges, comm)
+
+
+def _q_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient phi(k) (graph/stats.py rich_club) at five
+    thresholds over the structure graph — the 'hubs link to hubs'
+    diagnostic that decides whether hot-hub handling pays."""
+    from plwordnet_spark.graph.stats import rich_club
+
+    return rich_club(_struct_edges(spark, sf_dir), _RICH_CLUB_KS)
+
+
+def _q_avg_nbr_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average-neighbor-degree profile knn(k) (graph/stats.py
+    avg_neighbor_degree) over the structure graph — localizes the
+    assortativity signal q_assortativity reduces to one Pearson r."""
+    from plwordnet_spark.graph.stats import avg_neighbor_degree
+
+    return avg_neighbor_degree(_struct_edges(spark, sf_dir))
 
 
 def _q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3536,6 +3579,98 @@ def oracle_sql() -> dict[str, str]:
             FROM edges e
             JOIN out_deg o ON e.src = o.id
             JOIN in_deg i ON e.dst = i.id
+        """,
+        "q_conductance": f"""
+            WITH edges AS MATERIALIZED ({_STRUCT_EDGE_SQL}),
+            und AS MATERIALIZED (
+                SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+                FROM edges WHERE src <> dst
+            ),
+            m2 AS (SELECT 2.0 * count(*) AS two_m FROM und),
+            lab AS (
+                SELECT a % {_CONDUCTANCE_COMM_MOD} AS ca,
+                       b % {_CONDUCTANCE_COMM_MOD} AS cb
+                FROM und
+            ),
+            contrib AS (
+                SELECT ca AS community,
+                       CASE WHEN ca = cb THEN 0 ELSE 1 END AS cut,
+                       CASE WHEN ca = cb THEN 1 ELSE 0 END AS intra
+                FROM lab
+                UNION ALL
+                SELECT cb, 1, 0 FROM lab WHERE cb <> ca
+            ),
+            per_c AS (
+                SELECT community, SUM(cut) AS cut_edges,
+                       2 * SUM(intra) + SUM(cut) AS volume
+                FROM contrib GROUP BY community
+            )
+            SELECT CAST(community AS BIGINT) AS community,
+                   CAST(cut_edges AS BIGINT) AS cut_edges,
+                   CAST(volume AS BIGINT) AS volume,
+                   ROUND(CASE WHEN least(CAST(volume AS DOUBLE),
+                                        (SELECT two_m FROM m2) - volume) > 0
+                         THEN cut_edges / least(CAST(volume AS DOUBLE),
+                                                (SELECT two_m FROM m2) - volume)
+                         ELSE 0.0 END, 8) AS conductance
+            FROM per_c
+        """,
+        "q_rich_club": f"""
+            WITH edges AS MATERIALIZED ({_STRUCT_EDGE_SQL}),
+            und AS MATERIALIZED (
+                SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+                FROM edges WHERE src <> dst
+            ),
+            deg AS MATERIALIZED (
+                SELECT id, count(*) AS degree FROM (
+                    SELECT a AS id FROM und UNION ALL SELECT b FROM und
+                ) GROUP BY id
+            ),
+            em AS MATERIALIZED (
+                SELECT least(da.degree, db.degree) AS min_deg
+                FROM und
+                JOIN deg da ON da.id = und.a
+                JOIN deg db ON db.id = und.b
+            ),
+            ks(k) AS (VALUES {", ".join(f"({k})" for k in _RICH_CLUB_KS)}),
+            counts AS (
+                SELECT CAST(ks.k AS INT) AS k,
+                       CAST((SELECT count(*) FROM deg WHERE degree > ks.k)
+                            AS BIGINT) AS n_nodes,
+                       CAST((SELECT count(*) FROM em WHERE min_deg > ks.k)
+                            AS BIGINT) AS n_edges
+                FROM ks
+            )
+            SELECT k, n_nodes, n_edges,
+                   ROUND(CASE WHEN n_nodes >= 2
+                         THEN 2.0 * n_edges / (n_nodes * (n_nodes - 1.0))
+                         ELSE 0.0 END, 8) AS phi
+            FROM counts ORDER BY k
+        """,
+        "q_avg_nbr_degree": f"""
+            WITH edges AS MATERIALIZED ({_STRUCT_EDGE_SQL}),
+            und AS MATERIALIZED (
+                SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+                FROM edges WHERE src <> dst
+            ),
+            sym AS MATERIALIZED (
+                SELECT a AS id, b AS nbr FROM und
+                UNION ALL
+                SELECT b AS id, a AS nbr FROM und
+            ),
+            deg AS MATERIALIZED (
+                SELECT id, count(*) AS degree FROM sym GROUP BY id
+            ),
+            per_node AS (
+                SELECT sym.id, AVG(CAST(d2.degree AS DOUBLE)) AS avg_nbr_deg
+                FROM sym JOIN deg d2 ON d2.id = sym.nbr
+                GROUP BY sym.id
+            )
+            SELECT CAST(deg.degree AS BIGINT) AS degree,
+                   ROUND(AVG(avg_nbr_deg), 8) AS avg_knn,
+                   CAST(count(*) AS BIGINT) AS n_nodes
+            FROM per_node JOIN deg USING (id)
+            GROUP BY deg.degree ORDER BY degree
         """,
         "q_scc": f"""
             WITH RECURSIVE edges AS ({_STRUCT_EDGE_SQL}),

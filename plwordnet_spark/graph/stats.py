@@ -22,11 +22,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
+    "avg_neighbor_degree",
+    "conductance",
     "degree_distribution",
     "degrees",
     "gini_from_histogram",
     "modularity",
     "powerlaw_alpha",
+    "rich_club",
 ]
 
 
@@ -212,4 +215,182 @@ def gini_from_histogram(
             - (F.sum("c") + 1) / F.sum("c"),
             round_to,
         ).alias("gini")
+    )
+
+
+def _undirected(edges: DataFrame) -> DataFrame:
+    """Canonical undirected simple edge set (a < b, self-loops out)."""
+    return (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def conductance(
+    edges: DataFrame, communities: DataFrame, *, round_to: int = 8
+) -> DataFrame:
+    """Per-community conductance over the undirected simple graph —
+    (community, cut_edges, volume, conductance).
+
+    φ(S) = cut(S) / min(vol(S), 2m − vol(S)) with vol(S) = Σ degrees of
+    S's members = 2·intra(S) + cut(S). The sweep-cut quality measure for
+    any community output (LPA, CC on similarity graphs, PPR sweeps):
+    low φ = a real cluster, φ → 1 = a random vertex bag. Complements
+    :func:`modularity` (one global score) with a per-community gate.
+    Vertices absent from ``communities`` count as outside every
+    community (their edges can only be cut edges).
+
+    Scale shape: two label joins (the (id, community) map is usually
+    broadcastable; nodes ≪ edges), one union-explode to per-(edge,
+    community) contribution rows, one map-side-partial groupBy — rows
+    ∝ 2·|E| and the output is |communities| rows. No quadratic term,
+    no per-community scans.
+    """
+    und = _undirected(edges)
+    comm = communities.select("id", F.col("community").alias("c")).distinct()
+    labeled = (
+        und.join(comm.select(F.col("id").alias("a"), F.col("c").alias("ca")), "a", "left")
+        .join(comm.select(F.col("id").alias("b"), F.col("c").alias("cb")), "b", "left")
+    ).cache()  # two actions: the total-volume scalar and the per-c agg
+    try:
+        two_m = 2.0 * labeled.count()
+        same = F.col("ca").eqNullSafe(F.col("cb"))
+        contrib = labeled.filter(F.col("ca").isNotNull()).select(
+            F.col("ca").alias("community"),
+            F.when(same, F.lit(0)).otherwise(F.lit(1)).alias("cut"),
+            F.when(same, F.lit(1)).otherwise(F.lit(0)).alias("intra"),
+        ).unionAll(
+            # the b side only contributes when it is a DIFFERENT community
+            # (same-community edges were fully accounted once above)
+            labeled.filter(
+                F.col("cb").isNotNull() & ~F.col("cb").eqNullSafe(F.col("ca"))
+            ).select(
+                F.col("cb").alias("community"),
+                F.lit(1).alias("cut"),
+                F.lit(0).alias("intra"),
+            )
+        )
+        per_c = contrib.groupBy("community").agg(
+            F.sum("cut").cast("bigint").alias("cut_edges"),
+            (2 * F.sum("intra") + F.sum("cut")).cast("bigint").alias("volume"),
+        )
+        out = per_c.select(
+            "community",
+            "cut_edges",
+            "volume",
+            F.round(
+                F.when(
+                    F.least(F.col("volume"), two_m - F.col("volume")) > 0,
+                    F.col("cut_edges")
+                    / F.least(F.col("volume"), two_m - F.col("volume")),
+                ).otherwise(F.lit(0.0)),
+                round_to,
+            ).alias("conductance"),
+        )
+        out = out.localCheckpoint(eager=True)  # materialize before unpersist
+    finally:
+        labeled.unpersist()
+    return out
+
+
+def rich_club(edges: DataFrame, ks: list[int], *, round_to: int = 8) -> DataFrame:
+    """Rich-club coefficient φ(k) at each threshold — (k, n_nodes,
+    n_edges, phi) per requested k, over the undirected simple graph.
+
+    φ(k) = 2·E_k / (N_k·(N_k−1)) where N_k = nodes of degree > k and
+    E_k = edges between two such nodes (Zhou & Mondragón 2004). A
+    rising φ(k) tail is the "hubs link to hubs" signature of web/AS
+    graphs — it decides whether hot-hub handling (salting, hot-src
+    split) pays on THIS crawl.
+
+    Scale shape: degrees once (one agg), edge min-endpoint-degree via
+    two joins against the (id, degree) frame, then BOTH sides collapse
+    to compact histograms (distinct degree values, ~O(√max_degree)
+    rows) before the per-k thresholding — which is a tiny broadcast
+    non-equi join of |ks| rows against the histograms, never a re-scan
+    of the edge set per k.
+    """
+    spark = edges.sparkSession
+    und = _undirected(edges)
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .unionAll(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    node_hist = deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n"))
+    edge_min = (
+        und.join(deg.select(F.col("id").alias("a"), F.col("degree").alias("da")), "a")
+        .join(deg.select(F.col("id").alias("b"), F.col("degree").alias("db")), "b")
+        .select(F.least("da", "db").alias("min_deg"))
+        .groupBy("min_deg")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    k_df = spark.createDataFrame([(int(k),) for k in ks], "k int")
+    n_k = (
+        k_df.join(F.broadcast(node_hist), node_hist.degree > k_df.k, "left")
+        .groupBy("k")
+        .agg(F.coalesce(F.sum("n"), F.lit(0)).alias("n_nodes"))
+    )
+    e_k = (
+        k_df.join(F.broadcast(edge_min), edge_min.min_deg > k_df.k, "left")
+        .groupBy("k")
+        .agg(F.coalesce(F.sum("n"), F.lit(0)).alias("n_edges"))
+    )
+    return (
+        n_k.join(e_k, "k")
+        .select(
+            "k",
+            F.col("n_nodes").cast("bigint").alias("n_nodes"),
+            F.col("n_edges").cast("bigint").alias("n_edges"),
+            F.round(
+                F.when(
+                    F.col("n_nodes") >= 2,
+                    2.0 * F.col("n_edges")
+                    / (F.col("n_nodes") * (F.col("n_nodes") - 1)),
+                ).otherwise(F.lit(0.0)),
+                round_to,
+            ).alias("phi"),
+        )
+        .orderBy("k")
+    )
+
+
+def avg_neighbor_degree(edges: DataFrame, *, round_to: int = 8) -> DataFrame:
+    """Average-neighbor-degree assortativity profile — (degree,
+    avg_knn, n_nodes): for each degree value k, the mean over nodes of
+    degree k of their neighbors' mean degree (networkx
+    ``average_degree_connectivity`` on the undirected simple graph).
+
+    A falling knn(k) curve = disassortative (hubs feed the periphery —
+    the usual web shape); it localizes WHERE
+    :func:`~plwordnet_spark.graph.structure.degree_assortativity`'s
+    single Pearson r comes from.
+
+    Scale shape: degrees once, symmetrize the edge list (2|E| rows),
+    ONE join to attach the neighbor's degree, per-node mean, then the
+    compact per-degree-value rollup. All aggs partial; output is
+    histogram-sized.
+    """
+    und = _undirected(edges)
+    sym = und.select(F.col("a").alias("id"), F.col("b").alias("nbr")).unionAll(
+        und.select(F.col("b").alias("id"), F.col("a").alias("nbr"))
+    )
+    deg = sym.groupBy("id").agg(F.count(F.lit(1)).alias("degree"))
+    per_node = (
+        sym.join(deg.select(F.col("id").alias("nbr"), F.col("degree").alias("nbr_deg")), "nbr")
+        .groupBy("id")
+        .agg(F.avg("nbr_deg").alias("avg_nbr_deg"))
+        .join(deg, "id")
+    )
+    return (
+        per_node.groupBy("degree")
+        .agg(
+            F.round(F.avg("avg_nbr_deg"), round_to).alias("avg_knn"),
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        )
+        .orderBy("degree")
     )

@@ -1,0 +1,99 @@
+"""Conductance / rich-club / average-neighbor-degree: networkx parity
+on random graphs plus closed-form goldens on crafted graphs."""
+
+from __future__ import annotations
+
+import networkx as nx
+import numpy as np
+import pytest
+
+from plwordnet_spark.graph.stats import (
+    avg_neighbor_degree,
+    conductance,
+    rich_club,
+)
+
+
+def _edges_df(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def _random_graph(seed, n=40, p=0.12):
+    rng = np.random.RandomState(seed)
+    g = nx.gnp_random_graph(n, p, seed=int(rng.randint(1 << 30)))
+    # drop isolated nodes: the engine works over an edge list, so a
+    # vertex exists iff it touches >=1 edge
+    g.remove_nodes_from(list(nx.isolates(g)))
+    return g
+
+
+def test_conductance_matches_networkx_on_random_partition(spark):
+    g = _random_graph(3)
+    rng = np.random.RandomState(5)
+    labels = {v: int(rng.randint(0, 3)) for v in g.nodes}
+    edges = _edges_df(spark, [(int(u), int(v)) for u, v in g.edges])
+    comm = spark.createDataFrame(
+        [(int(v), c) for v, c in labels.items()], "id long, community int"
+    )
+    got = {r["community"]: r for r in conductance(edges, comm).collect()}
+    for c in set(labels.values()):
+        members = {v for v, l in labels.items() if l == c}
+        want = nx.conductance(g, members) if members and len(members) < len(g) else 0.0
+        assert got[c]["conductance"] == pytest.approx(want, abs=1e-8), c
+        vol = sum(d for _, d in g.degree(members))
+        assert got[c]["volume"] == vol
+        assert got[c]["cut_edges"] == nx.cut_size(g, members)
+
+
+def test_conductance_unlabeled_vertices_are_outside_every_community(spark):
+    # path 0-1-2-3; only {0,1} labeled: cut = edge (1,2), vol = deg0+deg1 = 3
+    edges = _edges_df(spark, [(0, 1), (1, 2), (2, 3)])
+    comm = spark.createDataFrame([(0, 0), (1, 0)], "id long, community int")
+    row = conductance(edges, comm).collect()[0]
+    assert (row["cut_edges"], row["volume"]) == (1, 3)
+    assert row["conductance"] == pytest.approx(1 / 3)
+
+
+def test_conductance_whole_graph_community_is_zero(spark):
+    edges = _edges_df(spark, [(0, 1), (1, 2)])
+    comm = spark.createDataFrame([(i, 9) for i in range(3)], "id long, community int")
+    row = conductance(edges, comm).collect()[0]
+    assert row["cut_edges"] == 0 and row["conductance"] == 0.0
+
+
+def test_rich_club_matches_networkx(spark):
+    g = _random_graph(11, n=50, p=0.15)
+    edges = _edges_df(spark, [(int(u), int(v)) for u, v in g.edges])
+    want = nx.rich_club_coefficient(g, normalized=False)
+    ks = sorted(want)
+    got = {r["k"]: r["phi"] for r in rich_club(edges, ks).collect()}
+    for k in ks:
+        assert got[k] == pytest.approx(want[k], abs=1e-8), k
+
+
+def test_rich_club_degenerate_thresholds(spark):
+    # star: center degree 4, leaves degree 1 -> k=1 club = {center} alone
+    edges = _edges_df(spark, [(0, i) for i in range(1, 5)])
+    got = {r["k"]: r for r in rich_club(edges, [0, 1, 10]).collect()}
+    assert got[0]["phi"] == pytest.approx(2 * 4 / (5 * 4))
+    assert (got[1]["n_nodes"], got[1]["phi"]) == (1, 0.0)
+    assert (got[10]["n_nodes"], got[10]["n_edges"], got[10]["phi"]) == (0, 0, 0.0)
+
+
+def test_avg_neighbor_degree_matches_networkx(spark):
+    g = _random_graph(23, n=45, p=0.1)
+    edges = _edges_df(spark, [(int(u), int(v)) for u, v in g.edges])
+    want = nx.average_degree_connectivity(g)
+    got = {r["degree"]: r for r in avg_neighbor_degree(edges).collect()}
+    assert set(got) == {k for k in want if k > 0}
+    for k, v in want.items():
+        if k == 0:
+            continue
+        assert got[k]["avg_knn"] == pytest.approx(v, abs=1e-8), k
+        assert got[k]["n_nodes"] == sum(1 for _, d in g.degree if d == k)
+
+
+def test_avg_neighbor_degree_star_is_disassortative(spark):
+    edges = _edges_df(spark, [(0, i) for i in range(1, 6)])
+    got = {r["degree"]: r["avg_knn"] for r in avg_neighbor_degree(edges).collect()}
+    assert got == {1: 5.0, 5: 1.0}
