@@ -340,6 +340,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "q_pmi_bigrams": lambda s, d: _q_pmi_bigrams(s, d),
         "q_tfidf_topk": lambda s, d: _q_tfidf_topk(s, d),
+        "q_bm25_topk": lambda s, d: _q_bm25_topk(s, d),
+        "q_unigram_surprisal": lambda s, d: _q_unigram_surprisal(s, d),
+        "q_postings": lambda s, d: _q_postings(s, d),
         "q_events_hourly": lambda s, d: (
             _t(s, d, "events")
             .groupBy(
@@ -458,6 +461,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_containment": lambda s, d: _q_containment(s, d),
         "q_cooccurrence": lambda s, d: _q_cooccurrence(s, d),
         "q_sample_per_stratum": lambda s, d: _q_sample_per_stratum(s, d),
+        "q_weighted_sample": lambda s, d: _q_weighted_sample(s, d),
+        "q_hop_histogram": lambda s, d: _q_hop_histogram(s, d),
+        "q_msf": lambda s, d: _q_msf(s, d),
         "q_funnel_steps": lambda s, d: _q_funnel_steps(s, d),
         "q_markov_transitions": lambda s, d: _q_markov_transitions(s, d),
         "q_session_paths": lambda s, d: _q_session_paths(s, d),
@@ -831,6 +837,43 @@ def _q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from plwordnet_spark.textops.tfidf import tfidf_top_terms
 
     return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
+
+
+def _q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 documents for a fixed bag-of-terms query
+    (textops/ranking.py) — the ranking half of an anchor-text search
+    index; the reference ranks related lexical units by text relevance
+    (plwordnet_ml embedder ranking)."""
+    from plwordnet_spark.textops.ranking import bm25_topk
+
+    return bm25_topk(
+        _t(spark, sf_dir, "documents"), ["fast", "scan", "merge"], k=20
+    )
+
+
+def _q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus-LM quality gate: per-doc mean unigram
+    surprisal (textops/ranking.py); returns the 50 most 'surprising'
+    documents — the tail a perplexity filter would inspect."""
+    from plwordnet_spark.textops.ranking import unigram_surprisal
+
+    return (
+        unigram_surprisal(_t(spark, sf_dir, "documents"))
+        .orderBy(F.desc("surprisal"), F.asc("doc_id"))
+        .limit(50)
+    )
+
+
+def _q_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build (textops/ranking.py): phrase (bigram)
+    posting lists for grams with 5 <= df <= 20% of docs, doc-ids
+    ordered ascending and comma-serialized so the value hash is
+    engine-portable."""
+    from plwordnet_spark.textops.ranking import build_postings
+
+    return build_postings(
+        _t(spark, sf_dir, "documents"), min_df=5, max_df_frac=0.2, ngram=2
+    )
 
 
 def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3021,6 +3064,143 @@ def _q_sample_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis-Spirtes weighted sample without replacement, 15 docs
+    per language weighted by n_chars (textops.sampling
+    .weighted_sample_per_stratum) — quality-weighted corpus
+    subsampling; membership is a pure function of (id, weight, seed)."""
+    from plwordnet_spark.textops.sampling import weighted_sample_per_stratum
+
+    return weighted_sample_per_stratum(
+        _t(spark, sf_dir, "documents"), 15, weight_col="n_chars"
+    ).select("doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars"))
+
+
+def _q_hop_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact hop-plot / neighborhood function N(h) over the derived
+    graph (graph.stats.hop_histogram): the exact complement of the
+    q_anf_hll sketch — all-sources composite BFS, histogram-sized
+    output, cumulative fraction for effective-diameter reads."""
+    from plwordnet_spark.graph.stats import hop_histogram
+
+    edges = _derived_edges(spark, sf_dir)
+    return hop_histogram(spark, edges, directed=False)
+
+
+def _weighted_sample_oracle(k: int = 15, seed: int = 0) -> str:
+    from plwordnet_spark.textops.sampling import SAMPLE_A, SAMPLE_B, SAMPLE_P
+
+    return f"""
+        SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars FROM (
+            SELECT doc_id, lang, n_chars,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY lang
+                       ORDER BY ln(CAST(((doc_id % {SAMPLE_P}) * {SAMPLE_A}
+                                  + {SAMPLE_B + seed}) % {SAMPLE_P} + 1 AS DOUBLE)
+                                  / {float(SAMPLE_P + 1)})
+                                / CAST(n_chars AS DOUBLE) DESC,
+                            doc_id
+                   ) AS rn
+            FROM documents
+            WHERE n_chars IS NOT NULL AND n_chars > 0
+        ) WHERE rn <= {k}
+    """
+
+
+def _q_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Borůvka minimum spanning forest (graph/msf.py) over the derived
+    graph with injective congruential weights — distinct weights make
+    the MSF unique, so the oracle's own Borůvka replay must produce the
+    identical edge set regardless of float/iteration details."""
+    from plwordnet_spark.graph.msf import minimum_spanning_forest
+
+    und = (
+        _derived_edges(spark, sf_dir)
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+    )
+    wed = und.select(
+        F.col("a").alias("src"),
+        F.col("b").alias("dst"),
+        (
+            (F.col("a") * 211 + F.col("b")) * F.lit(1103515245)
+            % F.lit(2147483647)
+        ).alias("w"),
+    )
+    msf = minimum_spanning_forest(spark, wed)
+    return msf.select("a", "b", F.col("w").cast("long").alias("w"))
+
+
+def _msf_oracle_sql(rounds: int = 9) -> str:
+    """Unrolled Borůvka: per round, labels = min-id reachability over
+    the forest-so-far (recursive CTE per round), each live component
+    selects its min outgoing weight, winners join back by weight
+    (weights injective), forest grows by UNION (idempotent once
+    converged — extra rounds are no-ops, the k-truss unroll trick)."""
+    parts = [
+        f"WITH RECURSIVE base AS MATERIALIZED ({_EDGE_SQL_DERIVATION})",
+        """und AS MATERIALIZED (
+            SELECT a, b, ((a * 211 + b) * 1103515245) % 2147483647 AS w
+            FROM (SELECT DISTINCT LEAST(src, dst) AS a,
+                         GREATEST(src, dst) AS b
+                  FROM base WHERE src <> dst)
+        )""",
+        """ids AS MATERIALIZED (
+            SELECT DISTINCT id FROM (
+                SELECT a AS id FROM und UNION ALL SELECT b FROM und)
+        )""",
+        "f0 AS (SELECT a, b, w FROM und WHERE 1 = 0)",
+    ]
+    for i in range(rounds):
+        parts.append(
+            f"""reach{i}(id, r) AS (
+                SELECT id, id FROM ids
+                UNION
+                SELECT s.v, reach{i}.r FROM reach{i}
+                JOIN (SELECT a AS u, b AS v FROM f{i}
+                      UNION ALL SELECT b, a FROM f{i}) s
+                  ON reach{i}.id = s.u
+            )"""
+        )
+        parts.append(
+            f"lab{i} AS MATERIALIZED (SELECT id, MIN(r) AS c "
+            f"FROM reach{i} GROUP BY id)"
+        )
+        parts.append(
+            f"""labeled{i} AS MATERIALIZED (
+                SELECT la.c AS ca, lb.c AS cb, u.w
+                FROM und u
+                JOIN lab{i} la ON la.id = u.a
+                JOIN lab{i} lb ON lb.id = u.b
+                WHERE la.c <> lb.c
+            )"""
+        )
+        parts.append(
+            f"""cand{i} AS MATERIALIZED (
+                SELECT DISTINCT w FROM (
+                    SELECT comp, MIN(w) AS w FROM (
+                        SELECT ca AS comp, w FROM labeled{i}
+                        UNION ALL SELECT cb, w FROM labeled{i}
+                    ) GROUP BY comp
+                )
+            )"""
+        )
+        parts.append(
+            f"""f{i + 1} AS MATERIALIZED (
+                SELECT a, b, w FROM f{i}
+                UNION
+                SELECT a, b, w FROM und WHERE w IN (SELECT w FROM cand{i})
+            )"""
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT a, b, CAST(w AS BIGINT) AS w FROM f{rounds}"
+    )
+
+
 def _sample_per_stratum_oracle(k: int = 20, seed: int = 0) -> str:
     from plwordnet_spark.textops.sampling import SAMPLE_A, SAMPLE_B, SAMPLE_P
 
@@ -3387,6 +3567,103 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, term, tf, ROUND(score_raw, 6) AS score, rank
             FROM ranked WHERE rank <= 3
+        """,
+        "q_bm25_topk": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                          w -> length(w) > 0)) AS term
+                FROM documents
+            ),
+            tf AS (
+                SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                FROM toks GROUP BY doc_id, term
+            ),
+            dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id),
+            n AS (SELECT count(*) AS N FROM documents),
+            ad AS (SELECT AVG(dl) AS avgdl FROM dl),
+            qtf AS (SELECT * FROM tf WHERE term IN ('fast', 'scan', 'merge')),
+            docfreq AS (SELECT term, count(*) AS df FROM qtf GROUP BY term),
+            scored AS (
+                SELECT qtf.doc_id,
+                       ln(1.0 + (n.N - docfreq.df + 0.5) / (docfreq.df + 0.5))
+                       * qtf.tf * (1.2 + 1.0)
+                       / (qtf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / ad.avgdl)) AS s
+                FROM qtf
+                JOIN docfreq USING (term)
+                JOIN dl USING (doc_id)
+                CROSS JOIN n CROSS JOIN ad
+            ),
+            agg AS (
+                SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_matched,
+                       SUM(s) AS score_raw
+                FROM scored GROUP BY doc_id
+            ),
+            ranked AS (
+                SELECT doc_id, n_terms_matched, score_raw,
+                       CAST(row_number() OVER (
+                           ORDER BY score_raw DESC, doc_id) AS INTEGER) AS rank
+                FROM agg
+            )
+            SELECT doc_id, n_terms_matched, ROUND(score_raw, 6) AS score, rank
+            FROM ranked WHERE rank <= 20
+        """,
+        "q_unigram_surprisal": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                          w -> length(w) > 0)) AS term
+                FROM documents
+            ),
+            tf AS (
+                SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                FROM toks GROUP BY doc_id, term
+            ),
+            tc AS (SELECT term, SUM(tf) AS cnt FROM tf GROUP BY term),
+            tot AS (SELECT SUM(cnt) AS total FROM tc),
+            per_doc AS (
+                SELECT tf.doc_id,
+                       CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+                       SUM(-tf.tf * ln(tc.cnt * 1.0 / tot.total)) AS sraw
+                FROM tf JOIN tc USING (term) CROSS JOIN tot
+                GROUP BY tf.doc_id
+            )
+            SELECT doc_id, n_tokens, ROUND(sraw / n_tokens, 6) AS surprisal
+            FROM per_doc
+            ORDER BY surprisal DESC, doc_id ASC
+            LIMIT 50
+        """,
+        "q_postings": """
+            WITH ws AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                   w -> length(w) > 0) AS ws
+                FROM documents
+            ),
+            toks AS (
+                SELECT doc_id, ws[pos + 1] || '_' || ws[pos + 2] AS term
+                FROM (SELECT doc_id, ws, unnest(range(len(ws) - 1)) AS pos
+                      FROM ws WHERE len(ws) >= 2)
+            ),
+            tf AS (
+                SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                FROM toks GROUP BY doc_id, term
+            ),
+            n AS (SELECT count(*) AS N FROM documents),
+            stats AS (
+                SELECT term, CAST(count(*) AS BIGINT) AS df,
+                       CAST(SUM(tf) AS BIGINT) AS total_tf
+                FROM tf GROUP BY term
+            ),
+            kept AS (
+                SELECT term, df, total_tf FROM stats CROSS JOIN n
+                WHERE df >= 5 AND df <= n.N * 0.6
+            )
+            SELECT kept.term, kept.df, kept.total_tf,
+                   string_agg(CAST(tf.doc_id AS VARCHAR), ','
+                              ORDER BY tf.doc_id) AS postings
+            FROM kept JOIN tf USING (term)
+            GROUP BY kept.term, kept.df, kept.total_tf
         """,
         "q_events_hourly": """
             SELECT date_trunc('hour', ts) AS hour, event_type,
@@ -4184,6 +4461,21 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN tot
         """,
         "q_sample_per_stratum": _sample_per_stratum_oracle(),
+        "q_weighted_sample": _weighted_sample_oracle(),
+        "q_msf": _msf_oracle_sql(),
+        "q_hop_histogram": f"""
+            {_apsp_cte()},
+            hist AS (
+                SELECT d AS dist, CAST(count(*) AS BIGINT) AS n_pairs
+                FROM mind WHERE d > 0 GROUP BY d
+            ),
+            tot AS (SELECT SUM(n_pairs) AS t FROM hist)
+            SELECT dist, n_pairs,
+                   CAST(SUM(n_pairs) OVER (ORDER BY dist) AS BIGINT) AS cum_pairs,
+                   ROUND(CAST(SUM(n_pairs) OVER (ORDER BY dist) AS DOUBLE)
+                         / (SELECT t FROM tot), 6) AS frac_cum
+            FROM hist
+        """,
         "q_funnel_steps": """
             WITH s1 AS (
                 SELECT user_id, MIN(ts) AS t FROM events

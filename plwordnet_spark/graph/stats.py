@@ -27,6 +27,7 @@ __all__ = [
     "degree_distribution",
     "degrees",
     "gini_from_histogram",
+    "hop_histogram",
     "modularity",
     "powerlaw_alpha",
     "rich_club",
@@ -393,4 +394,46 @@ def avg_neighbor_degree(edges: DataFrame, *, round_to: int = 8) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
         )
         .orderBy("degree")
+    )
+
+
+def hop_histogram(
+    spark,
+    edges: DataFrame,
+    *,
+    directed: bool = False,
+    max_iterations: int = 100,
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact hop-plot: (dist, n_pairs, cum_pairs, frac_cum) — the
+    neighborhood function N(h) the ANF/HyperBall sketch estimates
+    (see the q_anf_hll contract query for the sketch path; this is
+    its exact small-graph complement and the source of truth for
+    effective-diameter claims: the smallest h with frac_cum >= 0.9).
+
+    One all-sources composite BFS flood (every edge scan shared
+    across sources — diameter-many shuffles total, not per-source),
+    then a histogram-sized groupBy and a window over ≤ diameter rows.
+    Exact all-sources is the test/small-graph mode; at web scale you
+    run the same flood from a node SAMPLE and rescale, or use the
+    HLL sketch — same downstream shape either way.
+    """
+    from plwordnet_spark.graph.centrality import _distances
+    from pyspark.sql import Window as W
+
+    d = _distances(spark, edges, None, directed, max_iterations)
+    hist = d.groupBy(F.col("dist")).agg(F.count(F.lit(1)).alias("n_pairs"))
+    w = W.orderBy("dist").rowsBetween(W.unboundedPreceding, W.currentRow)
+    total = hist.select(F.sum("n_pairs").alias("_tot"))
+    return (
+        hist.withColumn("cum_pairs", F.sum("n_pairs").over(w))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "dist",
+            "n_pairs",
+            "cum_pairs",
+            F.round(
+                F.col("cum_pairs").cast("double") / F.col("_tot"), round_to
+            ).alias("frac_cum"),
+        )
     )

@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "stratified_sample",
     "sample_per_stratum",
+    "weighted_sample_per_stratum",
     "sample_hash",
     "SAMPLE_P",
     "SAMPLE_A",
@@ -115,3 +116,49 @@ def sample_per_stratum(
         W.partitionBy(strata_col).orderBy(sample_hash(id_col, seed), F.col(id_col))
     )
     return df.withColumn("_rn", rn).filter(F.col("_rn") <= k).drop("_rn")
+
+
+def weighted_sample_per_stratum(
+    df: DataFrame,
+    k: int,
+    *,
+    weight_col: str,
+    id_col: str = "doc_id",
+    strata_col: str = "lang",
+    seed: int = 0,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k rows per stratum,
+    deterministic and engine-portable (Efraimidis-Spirtes A-ES).
+
+    Each row gets the key ln(u) / w with u in (0, 1] derived from the
+    portable congruential draw and w = its weight; the k LARGEST keys
+    per stratum form an exact weighted sample without replacement
+    (Efraimidis & Spirtes 2006, "Weighted random sampling with a
+    reservoir" — the one-pass reservoir scheme; here the reservoir
+    becomes a rank window). Quality-weighted corpus subsampling at
+    100 TB is this exact operator: weight = quality score, stratum =
+    language/source.
+
+    Same scale shape as :func:`sample_per_stratum` — one shuffle on
+    the stratum, in-shuffle WindowGroupLimit prune, membership a pure
+    function of (id, weight, seed): partitioning-, engine- and
+    resume-invariant. Rows with weight <= 0 or NULL are excluded (they
+    have probability 0 in the A-ES scheme).
+    """
+    from pyspark.sql import Window as W
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    u = (sample_hash(id_col, seed) + 1).cast("double") / F.lit(
+        float(SAMPLE_P + 1)
+    )
+    key = F.log(u) / F.col(weight_col).cast("double")
+    rn = F.row_number().over(
+        W.partitionBy(strata_col).orderBy(F.desc(key), F.col(id_col))
+    )
+    return (
+        df.filter(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("_rn", rn)
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
