@@ -464,6 +464,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_weighted_sample": lambda s, d: _q_weighted_sample(s, d),
         "q_hop_histogram": lambda s, d: _q_hop_histogram(s, d),
         "q_msf": lambda s, d: _q_msf(s, d),
+        "q_vertex_cover": lambda s, d: _q_vertex_cover(s, d),
+        "q_crawl_schedule": lambda s, d: _q_crawl_schedule(s, d),
+        "q_trending": lambda s, d: _q_trending(s, d),
         "q_funnel_steps": lambda s, d: _q_funnel_steps(s, d),
         "q_markov_transitions": lambda s, d: _q_markov_transitions(s, d),
         "q_session_paths": lambda s, d: _q_session_paths(s, d),
@@ -3134,6 +3137,60 @@ def _q_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return msf.select("a", "b", F.col("w").cast("long").alias("w"))
 
 
+def _q_vertex_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-approx minimum vertex cover = endpoints of the deterministic
+    maximal matching (graph.matching.vertex_cover) — oracle wraps the
+    30-round matching replay and explodes endpoints."""
+    from plwordnet_spark.graph.matching import vertex_cover
+
+    return vertex_cover(spark, _derived_edges(spark, sf_dir))
+
+
+def _q_crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness-aware crawl-frontier schedule (frontier.py): slot =
+    per-host rank by (priority desc, url), fetcher = congruential hash
+    of the host's min doc_id; URLs synthesized as in q_url_features,
+    priority = n_chars, 40-URL megasite cap."""
+    from plwordnet_spark.frontier import schedule_frontier
+
+    d = _t(spark, sf_dir, "documents")
+    fr = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/"),
+            F.col("lang"), F.lit("/doc/"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.concat(F.col("source"), F.lit(".example.com")).alias("host"),
+        F.col("n_chars").cast("long").alias("priority"),
+    )
+    return schedule_frontier(
+        fr, n_fetchers=8, max_urls_per_host=40
+    ).select("doc_id", "url", "host", "priority", "slot", "fetcher")
+
+
+def _q_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst detection over the event stream: per (day, event_type)
+    counts vs the trailing-3-day mean of the same type (lag window),
+    lift = n / trailing_avg — the trending-topics primitive over any
+    keyed time series."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = W.partitionBy("event_type").orderBy("day").rowsBetween(-3, -1)
+    return (
+        daily.withColumn("trailing_avg", F.avg("n").over(w))
+        .filter(F.col("trailing_avg").isNotNull())
+        .select(
+            "day",
+            "event_type",
+            "n",
+            F.round("trailing_avg", 6).alias("trailing_avg"),
+            F.round(F.col("n") / F.col("trailing_avg"), 6).alias("lift"),
+        )
+    )
+
+
 def _msf_oracle_sql(rounds: int = 9) -> str:
     """Unrolled Borůvka: per round, labels = min-id reachability over
     the forest-so-far (recursive CTE per round), each live component
@@ -3199,6 +3256,36 @@ def _msf_oracle_sql(rounds: int = 9) -> str:
         ",\n".join(parts)
         + f"\nSELECT a, b, CAST(w AS BIGINT) AS w FROM f{rounds}"
     )
+
+
+def _crawl_schedule_oracle(
+    n_fetchers: int = 8, cap: int = 40, seed: int = 0
+) -> str:
+    from plwordnet_spark.textops.sampling import SAMPLE_A, SAMPLE_B, SAMPLE_P
+
+    return f"""
+        WITH fr AS (
+            SELECT doc_id,
+                   'https://' || source || '.example.com/' || lang
+                       || '/doc/' || CAST(doc_id AS VARCHAR) AS url,
+                   source || '.example.com' AS host,
+                   CAST(n_chars AS BIGINT) AS priority
+            FROM documents
+        ),
+        keyed AS (
+            SELECT doc_id, url, host, priority,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY host ORDER BY priority DESC, url
+                   ) AS rn,
+                   MIN(doc_id) OVER (PARTITION BY host) AS hk
+            FROM fr
+        )
+        SELECT doc_id, url, host, priority,
+               CAST(rn - 1 AS INTEGER) AS slot,
+               CAST((((hk % {SAMPLE_P}) * {SAMPLE_A} + {SAMPLE_B + seed})
+                     % {SAMPLE_P}) % {n_fetchers} AS INTEGER) AS fetcher
+        FROM keyed WHERE rn <= {cap}
+    """
 
 
 def _sample_per_stratum_oracle(k: int = 20, seed: int = 0) -> str:
@@ -4463,6 +4550,30 @@ def oracle_sql() -> dict[str, str]:
         "q_sample_per_stratum": _sample_per_stratum_oracle(),
         "q_weighted_sample": _weighted_sample_oracle(),
         "q_msf": _msf_oracle_sql(),
+        "q_vertex_cover": f"""
+            WITH m AS ({_matching_oracle()})
+            SELECT DISTINCT id FROM (
+                SELECT u AS id FROM m UNION ALL SELECT v AS id FROM m)
+        """,
+        "q_crawl_schedule": _crawl_schedule_oracle(),
+        "q_trending": """
+            WITH daily AS (
+                SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                       event_type, CAST(count(*) AS BIGINT) AS n
+                FROM events GROUP BY 1, 2
+            ),
+            lagged AS (
+                SELECT day, event_type, n,
+                       AVG(n) OVER (PARTITION BY event_type ORDER BY day
+                                    ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING
+                       ) AS t_avg
+                FROM daily
+            )
+            SELECT day, event_type, n,
+                   ROUND(t_avg, 6) AS trailing_avg,
+                   ROUND(n / t_avg, 6) AS lift
+            FROM lagged WHERE t_avg IS NOT NULL
+        """,
         "q_hop_histogram": f"""
             {_apsp_cte()},
             hist AS (

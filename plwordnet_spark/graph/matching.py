@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["maximal_matching", "MATCH_P", "MATCH_A", "MATCH_B", "MATCH_B2"]
+__all__ = ["maximal_matching", "vertex_cover", "MATCH_P", "MATCH_A", "MATCH_B", "MATCH_B2"]
 
 MATCH_P = 2_147_483_647  # 2^31 − 1
 MATCH_A = 1_103_515_245
@@ -108,3 +108,20 @@ def maximal_matching(
     for w in matched_acc[1:]:
         out = out.unionByName(w)
     return out.select("u", "v", "match_round").localCheckpoint(eager=True)
+
+
+def vertex_cover(spark, edges, **matching_kwargs):
+    """2-approximate minimum vertex cover: both endpoints of a maximal
+    matching — (id) rows. Gavril/Yannakakis: any maximal matching's
+    endpoint set covers every edge (an uncovered edge could extend the
+    matching, contradicting maximality) and is at most 2x the optimum
+    (any cover must hit each matched edge at least once). Same cost as
+    :func:`maximal_matching` plus one endpoint explode + distinct.
+    Web-graph use: minimal seed set that touches every link for
+    verification crawls / monitor placement."""
+    m = maximal_matching(spark, edges, **matching_kwargs)
+    return (
+        m.select(F.col("u").alias("id"))
+        .unionByName(m.select(F.col("v").alias("id")))
+        .distinct()
+    )
