@@ -364,6 +364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "q_cosine_topk": lambda s, d: _q_cosine_topk(s, d),
         "q_ivf_topk": lambda s, d: _q_ivf_topk(s, d),
+        "q_kmeans": lambda s, d: _q_kmeans(s, d),
         # --- relation expansion (J2/J3 ★) with SQL oracles ---
         "q_group_expansion": lambda s, d: _q_group_expansion(s, d),
         "q_synonymy_cliques": lambda s, d: _q_synonymy_cliques(s, d),
@@ -378,6 +379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rich_club": lambda s, d: _q_rich_club(s, d),
         "q_avg_nbr_degree": lambda s, d: _q_avg_nbr_degree(s, d),
         "q_scc": lambda s, d: _q_scc(s, d),
+        "q_topo_levels": lambda s, d: _q_topo_levels(s, d),
         "q_bowtie": lambda s, d: _q_bowtie(s, d),
         # --- graph rows-only (iterative; golden-tested in tests/) ---
         "q_pagerank_top": lambda s, d: _q_pagerank_top(s, d),
@@ -467,6 +469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_vertex_cover": lambda s, d: _q_vertex_cover(s, d),
         "q_crawl_schedule": lambda s, d: _q_crawl_schedule(s, d),
         "q_trending": lambda s, d: _q_trending(s, d),
+        "q_temporal_reach": lambda s, d: _q_temporal_reach(s, d),
         "q_funnel_steps": lambda s, d: _q_funnel_steps(s, d),
         "q_markov_transitions": lambda s, d: _q_markov_transitions(s, d),
         "q_session_paths": lambda s, d: _q_session_paths(s, d),
@@ -901,6 +904,128 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed spherical k-means (vectors/ivf.py kmeans_centroids)
+    verified iteration-by-iteration: deterministic init (8 smallest ids),
+    3 Lloyd rounds (broadcast-centroid assignment + centroid-sized
+    grouped mean), then a final assignment under the trained centroids.
+    Unlike q_ivf_topk (whose full-probe contract is centroid-agnostic),
+    this contract pins the CLUSTERING itself: per-bucket member count /
+    min id / id-sum pin every assignment exactly, and avg cosine-to-
+    centroid pins the centroid values to 4dp. The embedding-clustering
+    primitive behind IVF coarse quantizers and corpus curation
+    (reference trains Milvus IVF_FLAT, similar_search_handler.py:236)."""
+    from plwordnet_spark.vectors.ivf import (
+        _dot,
+        _l2_normalize,
+        ivf_assign,
+        kmeans_centroids,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    cents = kmeans_centroids(emb, n_centroids=8, max_iters=3)
+    assigned = ivf_assign(emb, cents)
+    scored = (
+        assigned.select(
+            "vec_id", "bucket", _l2_normalize(F.col("embedding")).alias("_v")
+        )
+        .join(F.broadcast(cents), "bucket")
+        .select("vec_id", "bucket", _dot(F.col("_v"), F.col("centroid")).alias("s"))
+    )
+    return scored.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min("vec_id").alias("min_member"),
+        F.sum("vec_id").alias("sum_members"),
+        F.round(F.avg("s"), 4).alias("avg_sim"),
+    )
+
+
+def _kmeans_oracle_sql(n_centroids: int = 8, iters: int = 3) -> str:
+    """Fully unrolled Lloyd replay in portable SQL: long-form (id, pos,
+    x) vectors, per-iteration argmax assignment (score DESC, bucket ASC
+    tie-break — same as ivf.py _assign), per-bucket per-dimension AVG,
+    re-normalize, empty buckets keep the previous centroid. CTEs
+    MATERIALIZED so DuckDB does not re-expand the iteration chain."""
+    parts = [
+        """WITH v AS MATERIALIZED (
+            SELECT vec_id AS id,
+                   generate_subscripts(embedding, 1) - 1 AS pos,
+                   CAST(unnest(embedding) AS DOUBLE) AS x
+            FROM embeddings
+        ),
+        nrm AS MATERIALIZED (
+            SELECT id, sqrt(sum(x*x)) AS n FROM v GROUP BY id
+        ),
+        vn AS MATERIALIZED (
+            SELECT v.id, v.pos,
+                   CASE WHEN nrm.n > 0 THEN v.x / nrm.n ELSE v.x END AS x
+            FROM v JOIN nrm USING (id)
+        ),
+        init_ids AS (SELECT DISTINCT id FROM vn ORDER BY id LIMIT """
+        + str(n_centroids)
+        + """),
+        c0 AS MATERIALIZED (
+            SELECT CAST(dense_rank() OVER (ORDER BY id) - 1 AS INTEGER)
+                       AS bucket, pos, x
+            FROM vn WHERE id IN (SELECT id FROM init_ids)
+        )"""
+    ]
+    for i in range(1, iters + 1):
+        p, c = i - 1, i
+        parts.append(
+            f""",
+        s{i} AS MATERIALIZED (
+            SELECT vn.id, c.bucket, sum(vn.x * c.x) AS s
+            FROM vn JOIN c{p} c USING (pos) GROUP BY vn.id, c.bucket
+        ),
+        a{i} AS MATERIALIZED (
+            SELECT id, bucket FROM (
+                SELECT id, bucket, row_number() OVER (
+                    PARTITION BY id ORDER BY s DESC, bucket) AS rn
+                FROM s{i}
+            ) WHERE rn = 1
+        ),
+        m{i} AS MATERIALIZED (
+            SELECT a.bucket, vn.pos, avg(vn.x) AS m
+            FROM a{i} a JOIN vn ON vn.id = a.id GROUP BY a.bucket, vn.pos
+        ),
+        mn{i} AS (SELECT bucket, sqrt(sum(m*m)) AS n FROM m{i} GROUP BY bucket),
+        c{c} AS MATERIALIZED (
+            SELECT m{i}.bucket, m{i}.pos,
+                   CASE WHEN mn{i}.n > 0 THEN m{i}.m/mn{i}.n ELSE m{i}.m END AS x
+            FROM m{i} JOIN mn{i} USING (bucket)
+            UNION ALL
+            SELECT c{p}.bucket, c{p}.pos, c{p}.x FROM c{p}
+            WHERE c{p}.bucket NOT IN (SELECT bucket FROM m{i})
+        )"""
+        )
+    f = iters + 1
+    parts.append(
+        f""",
+        s{f} AS MATERIALIZED (
+            SELECT vn.id, c.bucket, sum(vn.x * c.x) AS s
+            FROM vn JOIN c{iters} c USING (pos) GROUP BY vn.id, c.bucket
+        ),
+        a{f} AS MATERIALIZED (
+            SELECT id, bucket, s FROM (
+                SELECT id, bucket, s, row_number() OVER (
+                    PARTITION BY id ORDER BY s DESC, bucket) AS rn
+                FROM s{f}
+            ) WHERE rn = 1
+        )
+        SELECT CAST(bucket AS INTEGER) AS bucket,
+               CAST(count(*) AS BIGINT) AS n_members,
+               CAST(min(id) AS BIGINT) AS min_member,
+               CAST(sum(id) AS BIGINT) AS sum_members,
+               ROUND(avg(s), 4) AS avg_sim
+        FROM a{f}
+        GROUP BY bucket"""
+    )
+    return "".join(parts)
+
+
 def _q_group_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2 ★: group-relation → member cross products, on a TPC-H-derived
     grouping (members = suppliers, groups = nations, group relations =
@@ -1065,6 +1190,17 @@ def _q_bowtie(spark: SparkSession, sf_dir: str) -> DataFrame:
     from plwordnet_spark.graph.structure import bowtie
 
     return bowtie(spark, _struct_edges(spark, sf_dir))
+
+
+def _q_topo_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest-path layering of the SCC condensation DAG
+    (graph/structure.py condensation_levels): level 0 = un-pointed-to
+    frontier components, level k depends only on levels < k — the
+    seed-independent 'link depth' a crawl scheduler orders by, and the
+    third member of the macro-structure family beside q_scc/q_bowtie."""
+    from plwordnet_spark.graph.structure import condensation_levels
+
+    return condensation_levels(spark, _struct_edges(spark, sf_dir))
 
 
 def _q_anf_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3168,6 +3304,27 @@ def _q_crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "url", "host", "priority", "slot", "fetcher")
 
 
+def _q_temporal_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-respecting earliest-arrival reachability (graph/temporal.py)
+    over a temporal contact graph derived from orders (edge exists at
+    its order-date day number): from seeds {0,1,2} starting at day 2000,
+    the earliest day each node can be reached following edges in
+    non-decreasing time order — the crawl-freshness / influence-tracing
+    primitive a static link graph cannot express."""
+    from plwordnet_spark.graph.temporal import temporal_reachability
+
+    o = _t(spark, sf_dir, "orders")
+    edges = o.select(
+        (F.col("o_custkey") % 151).cast("long").alias("src"),
+        (F.col("o_orderkey") % 151).cast("long").alias("dst"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.to_date(F.lit("1995-01-01"))
+        ).cast("long").alias("t"),
+    )
+    res = temporal_reachability(spark, edges, [0, 1, 2], start_time=2000)
+    return res.state
+
+
 def _q_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Burst detection over the event stream: per (day, event_type)
     counts vs the trailing-3-day mean of the same type (lag window),
@@ -3811,6 +3968,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, vec_id, ROUND(s, 4) AS sim, rank
             FROM ranked WHERE rank <= 5
         """,
+        "q_kmeans": _kmeans_oracle_sql(),
+        "q_temporal_reach": """
+            WITH RECURSIVE tedges AS MATERIALIZED (
+                SELECT DISTINCT CAST(o_custkey % 151 AS BIGINT) AS src,
+                       CAST(o_orderkey % 151 AS BIGINT) AS dst,
+                       CAST(date_diff('day', DATE '1995-01-01',
+                                      CAST(o_orderdate AS DATE)) AS BIGINT) AS t
+                FROM orders
+                WHERE o_custkey % 151 <> o_orderkey % 151
+            ),
+            nodes AS (
+                SELECT src AS id FROM tedges UNION SELECT dst FROM tedges
+            ),
+            reach AS (
+                SELECT id, CAST(2000 AS BIGINT) AS arr
+                FROM nodes WHERE id IN (0, 1, 2)
+                UNION
+                SELECT e.dst AS id, e.t AS arr
+                FROM reach r JOIN tedges e ON e.src = r.id AND e.t >= r.arr
+            )
+            SELECT id, MIN(arr) AS arrival FROM reach GROUP BY id
+        """,
         "q_group_expansion": """
             WITH group_rels AS (
                 SELECT CAST(a.n_nationkey AS BIGINT) AS parent_group,
@@ -4053,6 +4232,44 @@ def oracle_sql() -> dict[str, str]:
                        AS component
             FROM nodes n LEFT JOIN mutual m ON m.v = n.id
             GROUP BY n.id
+        """,
+        "q_topo_levels": f"""
+            WITH RECURSIVE edges AS ({_STRUCT_EDGE_SQL}),
+            nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+            reach(a, b) AS (
+                SELECT src, dst FROM edges
+                UNION
+                SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+            ),
+            mutual AS (
+                SELECT r1.a AS v, r1.b AS u
+                FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+            ),
+            scc AS MATERIALIZED (
+                SELECT n.id,
+                       CAST(LEAST(n.id, COALESCE(MIN(m.u), n.id)) AS BIGINT)
+                           AS component
+                FROM nodes n LEFT JOIN mutual m ON m.v = n.id
+                GROUP BY n.id
+            ),
+            cedges AS MATERIALIZED (
+                SELECT DISTINCT s1.component AS cu, s2.component AS cv
+                FROM edges e
+                JOIN scc s1 ON s1.id = e.src
+                JOIN scc s2 ON s2.id = e.dst
+                WHERE s1.component <> s2.component
+            ),
+            depths AS (
+                SELECT DISTINCT component AS c, CAST(0 AS BIGINT) AS d FROM scc
+                UNION
+                SELECT ce.cv, dp.d + 1 FROM depths dp JOIN cedges ce ON ce.cu = dp.c
+            ),
+            lvl AS (SELECT c AS component, MAX(d) AS level FROM depths GROUP BY c),
+            sizes AS (
+                SELECT component, CAST(count(*) AS BIGINT) AS n_nodes
+                FROM scc GROUP BY component
+            )
+            SELECT component, level, n_nodes FROM lvl JOIN sizes USING (component)
         """,
         "q_bowtie": f"""
             WITH RECURSIVE edges AS ({_STRUCT_EDGE_SQL}),

@@ -49,7 +49,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from plwordnet_spark.graph.pregel import loop_tuning
+from plwordnet_spark.graph.pregel import PregelRunner, loop_tuning
 
 __all__ = [
     "reciprocity",
@@ -58,6 +58,7 @@ __all__ = [
     "bowtie",
     "neighborhood_function",
     "NeighborhoodResult",
+    "condensation_levels",
 ]
 
 
@@ -492,3 +493,99 @@ def neighborhood_function(
         effective_diameter=round(max(eff, 0.0), 4),
         iterations=history[-1][0],
     )
+
+
+def condensation_levels(
+    spark: SparkSession,
+    edges: DataFrame,
+    scc_result: DataFrame | None = None,
+    max_iterations: int = 200,
+) -> DataFrame:
+    """Topological (longest-path) levels of the SCC condensation DAG;
+    returns ``(component, level, n_nodes)``.
+
+    Contracting each SCC to one vertex yields a DAG (the condensation);
+    ``level`` is the length of the LONGEST path from any source
+    component — the canonical layering of a link graph: level 0 is the
+    un-pointed-to frontier (bow-tie IN fringe plus isolated material),
+    deeper levels are farther downstream of everything. Crawl
+    schedulers use it as "link depth" independent of any seed choice,
+    and it is the scheduling order for any condensation-DAG dataflow
+    (level k depends only on < k).
+
+    Shape: one SCC run (or a caller-supplied ``scc_result``), two hash
+    joins to contract the edge list (condensation edges are DISTINCT
+    component pairs — usually orders of magnitude smaller than |E|),
+    then a max-plus frontier flood identical in traffic to
+    :func:`~plwordnet_spark.graph.bfs.bfs_distances`: per round one
+    frontier⋈cedges join + one groupBy(max) with map-side partial agg.
+    Convergence in condensation-depth rounds is guaranteed (DAG, levels
+    only grow, bounded by depth); a cycle can only arise from a wrong
+    ``scc_result``, which ``max_iterations`` turns into a loud error.
+    """
+    comp = (
+        scc_result
+        if scc_result is not None
+        else strongly_connected_components(spark, edges)
+    ).select("id", "component").cache()
+
+    e = edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
+    cedges = (
+        e.join(comp.withColumnRenamed("id", "src"), "src")
+        .select(F.col("component").alias("u"), "dst")
+        .join(comp.withColumnRenamed("id", "dst"), "dst")
+        .select("u", F.col("component").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .repartition("u")
+        .cache()
+    )
+    n_cedges = cedges.count()
+
+    init = (
+        comp.select(F.col("component").alias("id"))
+        .distinct()
+        .select(
+            "id",
+            F.lit(0).cast("long").alias("lvl"),
+            F.lit(True).alias("changed"),
+        )
+    )
+
+    def step(state: DataFrame) -> DataFrame:
+        frontier = state.filter(F.col("changed")).select(
+            F.col("id").alias("u"), "lvl"
+        )
+        offers = (
+            cedges.join(frontier, "u")
+            .groupBy(F.col("v").alias("id"))
+            .agg(F.max(F.col("lvl") + F.lit(1)).alias("nl"))
+        )
+        improved = F.col("nl").isNotNull() & (F.col("nl") > F.col("lvl"))
+        return state.join(offers, "id", "left").select(
+            "id",
+            F.greatest(F.col("lvl"), F.col("nl")).alias("lvl"),
+            improved.alias("changed"),
+        )
+
+    def delta(old: DataFrame, new: DataFrame):
+        frontier_rows = new.filter(F.col("changed")).count()
+        return float(frontier_rows), {"frontier_rows": frontier_rows}
+
+    runner = PregelRunner(spark, max_iterations=max_iterations, tol=0.5)
+    with loop_tuning(spark, n_cedges):
+        res = runner.run(init, step, delta)
+        if not res.converged:
+            raise RuntimeError(
+                "condensation did not stabilize within max_iterations — "
+                "the supplied scc_result does not contract all cycles"
+            )
+        levels = res.state.select(F.col("id").alias("component"), "lvl")
+        sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("n_nodes"))
+        out = levels.join(sizes, "component").select(
+            "component", F.col("lvl").alias("level"), "n_nodes"
+        )
+        out = out.localCheckpoint(eager=True)
+    cedges.unpersist()
+    comp.unpersist()
+    return out

@@ -59,6 +59,32 @@ class TestKmeans:
         for r in kmeans_centroids(corpus, n_centroids=4, max_iters=2).collect():
             assert np.linalg.norm(r["centroid"]) == pytest.approx(1.0, abs=1e-9)
 
+    def test_matches_numpy_lloyd_replay(self, spark, corpus):
+        # iteration-exact parity with a pure-numpy spherical Lloyd:
+        # same init (k smallest ids), same (score desc, bucket asc)
+        # tie-break, same empty-bucket keep-old rule
+        k, iters = 6, 3
+        rows = sorted(corpus.collect(), key=lambda r: r["vec_id"])
+        ids = np.array([r["vec_id"] for r in rows])
+        X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+        X = X / np.linalg.norm(X, axis=1, keepdims=True)
+        C = X[np.argsort(ids)[:k]].copy()
+        for _ in range(iters):
+            assign = np.argmax(X @ C.T, axis=1)  # argmax takes first max
+            for b in range(k):
+                members = X[assign == b]
+                if len(members):
+                    m = members.mean(axis=0)
+                    C[b] = m / np.linalg.norm(m)
+        expected = dict(zip(ids.tolist(), np.argmax(X @ C.T, axis=1).tolist()))
+
+        cents = kmeans_centroids(corpus, n_centroids=k, max_iters=iters)
+        got = {
+            r["vec_id"]: r["bucket"]
+            for r in ivf_assign(corpus, cents).select("vec_id", "bucket").collect()
+        }
+        assert got == expected
+
     def test_degenerate_duplicate_corpus(self, spark):
         # all-identical vectors: every point lands in bucket 0, empty
         # buckets keep their init centroid, search still returns top-k
