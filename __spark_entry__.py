@@ -342,6 +342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_tfidf_topk": lambda s, d: _q_tfidf_topk(s, d),
         "q_bm25_topk": lambda s, d: _q_bm25_topk(s, d),
         "q_unigram_surprisal": lambda s, d: _q_unigram_surprisal(s, d),
+        "q_bigram_surprisal": lambda s, d: _q_bigram_surprisal(s, d),
         "q_postings": lambda s, d: _q_postings(s, d),
         "q_events_hourly": lambda s, d: (
             _t(s, d, "events")
@@ -380,6 +381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_avg_nbr_degree": lambda s, d: _q_avg_nbr_degree(s, d),
         "q_scc": lambda s, d: _q_scc(s, d),
         "q_topo_levels": lambda s, d: _q_topo_levels(s, d),
+        "q_triad_census": lambda s, d: _q_triad_census(s, d),
         "q_bowtie": lambda s, d: _q_bowtie(s, d),
         # --- graph rows-only (iterative; golden-tested in tests/) ---
         "q_pagerank_top": lambda s, d: _q_pagerank_top(s, d),
@@ -470,6 +472,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_crawl_schedule": lambda s, d: _q_crawl_schedule(s, d),
         "q_trending": lambda s, d: _q_trending(s, d),
         "q_temporal_reach": lambda s, d: _q_temporal_reach(s, d),
+        "q_url_canonical": lambda s, d: _q_url_canonical(s, d),
+        "q_mixture_weights": lambda s, d: _q_mixture_weights(s, d),
         "q_funnel_steps": lambda s, d: _q_funnel_steps(s, d),
         "q_markov_transitions": lambda s, d: _q_markov_transitions(s, d),
         "q_session_paths": lambda s, d: _q_session_paths(s, d),
@@ -870,6 +874,20 @@ def _q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-order-sensitive corpus-LM gate: per-doc mean conditional
+    bigram surprisal (textops/ranking.py bigram_surprisal); returns the
+    50 most 'surprising' documents — shuffled/template-stitched text
+    that passes the unigram gate surfaces here."""
+    from plwordnet_spark.textops.ranking import bigram_surprisal
+
+    return (
+        bigram_surprisal(_t(spark, sf_dir, "documents"))
+        .orderBy(F.desc("surprisal"), F.asc("doc_id"))
+        .limit(50)
+    )
+
+
 def _q_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted-index build (textops/ranking.py): phrase (bigram)
     posting lists for grams with 5 <= df <= 20% of docs, doc-ids
@@ -1178,6 +1196,17 @@ def _q_avg_nbr_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     from plwordnet_spark.graph.stats import avg_neighbor_degree
 
     return avg_neighbor_degree(_struct_edges(spark, sf_dir))
+
+
+def _q_triad_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed 2-path / feed-forward / cyclic-triangle census
+    (graph/triangles.py directed_triangle_census) on the structure
+    graph: transitive ≫ cyclic marks hierarchy, cyclic surplus marks
+    collusive link rings — the motif complement of q_triangle_count's
+    undirected total."""
+    from plwordnet_spark.graph.triangles import directed_triangle_census
+
+    return directed_triangle_census(_struct_edges(spark, sf_dir))
 
 
 def _q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3325,6 +3354,41 @@ def _q_temporal_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.state
 
 
+def _q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mC4/XLM-R temperature-sampled source mixture (textops/sampling.py
+    mixture_weights): w_s ∝ n_s^0.3 over document sources,
+    floor(w·budget) expected draws at budget 10k, repeat_factor > 1
+    flags upsampling-induced duplication."""
+    from plwordnet_spark.textops.sampling import mixture_weights
+
+    return mixture_weights(
+        _t(spark, sf_dir, "documents"), by="source", alpha=0.3, budget=10_000
+    )
+
+
+def _q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (frontier.py canonical_url_expr): the
+    pre-frontier dedup key. URLs synthesized with every rule's trigger
+    — mixed-case scheme/host, www, default port, trailing slash,
+    unsorted + tracking query params, fragment — and collapsed to the
+    canonical form; zero-shuffle codegen string ops, oracle replays the
+    rules with portable SQL."""
+    from plwordnet_spark.frontier import canonical_url_expr
+
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("HTTPS://WWW."), F.col("source"), F.lit(".Example.COM:443/Doc/"),
+        F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?utm_source=feed&z="), F.col("lang"),
+        F.lit("&a="), (F.col("n_chars") % 7).cast("string"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    return d.select("doc_id", url.alias("url")).select(
+        "doc_id", "url", canonical_url_expr(F.col("url")).alias("canonical")
+    )
+
+
 def _q_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Burst detection over the event stream: per (day, event_type)
     counts vs the trailing-3-day mean of the same type (lag window),
@@ -3877,6 +3941,36 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY surprisal DESC, doc_id ASC
             LIMIT 50
         """,
+        "q_bigram_surprisal": """
+            WITH ws AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                   w -> length(w) > 0) AS ws
+                FROM documents
+            ),
+            bi AS (
+                SELECT doc_id, ws[pos + 1] AS v, ws[pos + 2] AS w
+                FROM (SELECT doc_id, ws, unnest(range(len(ws) - 1)) AS pos
+                      FROM ws WHERE len(ws) >= 2)
+            ),
+            tf AS (
+                SELECT doc_id, v, w, CAST(count(*) AS BIGINT) AS tf
+                FROM bi GROUP BY doc_id, v, w
+            ),
+            cvw AS (SELECT v, w, SUM(tf) AS c_vw FROM tf GROUP BY v, w),
+            cv AS (SELECT v, SUM(c_vw) AS c_v FROM cvw GROUP BY v),
+            pd AS (
+                SELECT tf.doc_id,
+                       CAST(SUM(tf.tf) AS BIGINT) AS n_bigrams,
+                       SUM(-tf.tf * ln(cvw.c_vw * 1.0 / cv.c_v)) AS sraw
+                FROM tf JOIN cvw USING (v, w) JOIN cv USING (v)
+                GROUP BY tf.doc_id
+            )
+            SELECT doc_id, n_bigrams, ROUND(sraw / n_bigrams, 6) AS surprisal
+            FROM pd
+            ORDER BY surprisal DESC, doc_id ASC
+            LIMIT 50
+        """,
         "q_postings": """
             WITH ws AS (
                 SELECT doc_id,
@@ -4233,6 +4327,24 @@ def oracle_sql() -> dict[str, str]:
             FROM nodes n LEFT JOIN mutual m ON m.v = n.id
             GROUP BY n.id
         """,
+        "q_triad_census": f"""
+            WITH edges AS MATERIALIZED ({_STRUCT_EDGE_SQL}),
+            paths AS MATERIALIZED (
+                SELECT a.src AS u, a.dst AS v, b.dst AS w
+                FROM edges a JOIN edges b ON a.dst = b.src
+                WHERE a.src <> b.dst
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_two_paths,
+                   CAST(count(*) FILTER (WHERE EXISTS (
+                       SELECT 1 FROM edges e
+                       WHERE e.src = paths.u AND e.dst = paths.w
+                   )) AS BIGINT) AS n_transitive,
+                   CAST(count(*) FILTER (WHERE EXISTS (
+                       SELECT 1 FROM edges e
+                       WHERE e.src = paths.w AND e.dst = paths.u
+                   )) // 3 AS BIGINT) AS n_cyclic
+            FROM paths
+        """,
         "q_topo_levels": f"""
             WITH RECURSIVE edges AS ({_STRUCT_EDGE_SQL}),
             nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
@@ -4369,6 +4481,77 @@ def oracle_sql() -> dict[str, str]:
         "q_eigenvector": _eigenvector_oracle_sql(),
         "q_json_props": _JSON_PROPS_ORACLE_SQL,
         "q_url_features": _URL_FEATURES_ORACLE_SQL,
+        "q_mixture_weights": """
+            WITH c AS (
+                SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+                FROM documents GROUP BY source
+            ),
+            p AS (
+                SELECT source, n_docs,
+                       pow(CAST(n_docs AS DOUBLE), 0.3) AS p
+                FROM c
+            ),
+            t AS (SELECT SUM(p) AS tp FROM p)
+            SELECT source, n_docs,
+                   ROUND(p / tp, 6) AS weight,
+                   CAST(FLOOR(ROUND(p / tp, 6) * 10000) AS BIGINT)
+                       AS expected_docs,
+                   ROUND(p / tp * 10000 / n_docs, 6) AS repeat_factor
+            FROM p CROSS JOIN t
+        """,
+        "q_url_canonical": r"""
+            WITH raw AS (
+                SELECT doc_id,
+                       'HTTPS://WWW.' || source || '.Example.COM:443/Doc/'
+                       || CAST(doc_id AS VARCHAR)
+                       || CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END
+                       || '?utm_source=feed&z=' || lang
+                       || '&a=' || CAST(n_chars % 7 AS VARCHAR)
+                       || CASE WHEN doc_id % 2 = 0 THEN '#frag' ELSE '' END
+                           AS url
+                FROM documents
+            ),
+            defrag AS (
+                SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS u
+                FROM raw
+            ),
+            parts AS (
+                SELECT doc_id, url,
+                       lower(regexp_extract(u, '^([^:/?#]+)://', 1)) AS sch,
+                       lower(regexp_extract(regexp_replace(u, '^[^:/?#]+://', ''),
+                                            '^([^/?#]*)', 1)) AS hostport,
+                       regexp_extract(regexp_replace(regexp_replace(u,
+                           '^[^:/?#]+://', ''), '^[^/?#]*', ''),
+                           '^([^?]*)', 1) AS path,
+                       regexp_extract(regexp_replace(regexp_replace(u,
+                           '^[^:/?#]+://', ''), '^[^/?#]*', ''),
+                           '\?(.*)$', 1) AS query
+                FROM defrag
+            ),
+            canon AS (
+                SELECT doc_id, url,
+                       sch,
+                       regexp_replace(
+                           CASE WHEN sch = 'http'
+                                    THEN regexp_replace(hostport, ':80$', '')
+                                WHEN sch = 'https'
+                                    THEN regexp_replace(hostport, ':443$', '')
+                                ELSE hostport END,
+                           '^www\.', '') AS host,
+                       regexp_replace(CASE WHEN path = '' THEN '/' ELSE path END,
+                                      '(.)/$', '\1') AS path,
+                       list_sort(list_filter(string_split(query, '&'),
+                           p -> length(p) > 0 AND NOT regexp_matches(p,
+                               '^(utm_[^=]*|gclid|fbclid|msclkid|ref)='))) AS params
+                FROM parts
+            )
+            SELECT doc_id, url,
+                   sch || '://' || host || path
+                   || CASE WHEN len(params) > 0
+                           THEN '?' || array_to_string(params, '&')
+                           ELSE '' END AS canonical
+            FROM canon
+        """,
         "q_katz": _katz_oracle_sql(),
         "q_ktruss": _ktruss_oracle_sql(),
         "q_pagerank_weighted": _pagerank_oracle_sql(weighted=True),

@@ -33,7 +33,64 @@ from pyspark.sql import functions as F
 
 from plwordnet_spark.textops.sampling import SAMPLE_A, SAMPLE_B, SAMPLE_P
 
-__all__ = ["schedule_frontier"]
+__all__ = ["schedule_frontier", "canonical_url_expr", "TRACKING_PARAM_RE"]
+
+# query parameters that never change page content: analytics campaign
+# tags and click ids. Kept conservative — canonicalization must never
+# merge two genuinely different resources.
+TRACKING_PARAM_RE = r"^(utm_[^=]*|gclid|fbclid|msclkid|ref)="
+
+
+def canonical_url_expr(url_col, *, drop_www: bool = True, tracking_re: str = TRACKING_PARAM_RE):
+    """Column expression: canonical form of an absolute http(s) URL.
+
+    The URL-dedup primitive a crawler applies before the frontier and
+    the exact-dedup stage apply after fetch: the same resource reached
+    through case-varied hosts, default ports, fragments, tracking
+    params, shuffled query order, or a trailing slash must collapse to
+    ONE key, or every downstream count (frontier size, dedup ratio,
+    host quotas) is inflated. Rules, in order:
+
+    1. strip the fragment (``#…`` — client-side only),
+    2. lowercase scheme and host (RFC 3986 §6.2.2.1; path case is
+       PRESERVED — paths are case-sensitive),
+    3. drop the scheme's default port (``:80`` http / ``:443`` https),
+    4. optionally drop a leading ``www.`` (``drop_www``),
+    5. empty path → ``/``; otherwise strip one trailing slash,
+    6. drop query params matching ``tracking_re``; sort the rest
+       byte-lexicographically and rejoin.
+
+    Pure codegen string ops — zero shuffle, no UDF — and every rule is
+    replayable with portable SQL string functions, which is how the
+    driver oracle checks it. Non-URL junk degrades gracefully (no
+    scheme → empty scheme prefix) rather than erroring mid-pipeline.
+    """
+    u = F.regexp_replace(url_col, r"#.*$", "")
+    scheme = F.lower(F.regexp_extract(u, r"^([^:/?#]+)://", 1))
+    rest = F.regexp_replace(u, r"^[^:/?#]+://", "")
+    hostport = F.lower(F.regexp_extract(rest, r"^([^/?#]*)", 1))
+    host = (
+        F.when(scheme == "http", F.regexp_replace(hostport, ":80$", ""))
+        .when(scheme == "https", F.regexp_replace(hostport, ":443$", ""))
+        .otherwise(hostport)
+    )
+    if drop_www:
+        host = F.regexp_replace(host, r"^www\.", "")
+    pathq = F.regexp_replace(rest, r"^[^/?#]*", "")
+    path = F.regexp_extract(pathq, r"^([^?]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    path = F.regexp_replace(path, r"(.)/$", "$1")
+    query = F.regexp_extract(pathq, r"\?(.*)$", 1)
+    params = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (F.length(p) > 0) & ~p.rlike(tracking_re),
+        )
+    )
+    qs = F.when(
+        F.size(params) > 0, F.concat(F.lit("?"), F.array_join(params, "&"))
+    ).otherwise(F.lit(""))
+    return F.concat(scheme, F.lit("://"), host, path, qs)
 
 
 def schedule_frontier(

@@ -24,6 +24,7 @@ __all__ = [
     "triangles_per_node",
     "clustering_coefficient",
     "canonical_undirected",
+    "directed_triangle_census",
 ]
 
 
@@ -134,4 +135,78 @@ def clustering_coefficient(edges: DataFrame) -> DataFrame:
             )
             .alias("coeff"),
         )
+    )
+
+
+def directed_triangle_census(
+    edges: DataFrame, max_mid_degree: int | None = None
+) -> DataFrame:
+    """Directed 2-path and triangle-motif census; one row
+    ``(n_two_paths, n_transitive, n_cyclic)``.
+
+    On the simple digraph (self-loops dropped, parallel edges deduped):
+
+    * ``n_two_paths`` — ordered paths u→v→w with u ≠ w (the wedge
+      census, denominator of directed closure ratios),
+    * ``n_transitive`` — 2-paths closed by the shortcut u→w: the
+      feed-forward motif, a hierarchy signal (tutorial→section→page
+      plus tutorial→page),
+    * ``n_cyclic`` — cyclic triangles {u→v→w→u}, each counted ONCE
+      (a cycle closes all 3 of its rotations, so the closure count is
+      divided by 3). Link exchanges / reciprocal rings show up here.
+
+    Web-graph reading: transitive ≫ cyclic is the hallmark of a
+    hierarchical link structure; a cyclic surplus flags collusive
+    linking (the same signal family as hostgraph's nepotistic ratio).
+
+    Shape: one self-join on the mid vertex + two semi-join closures —
+    non-iterative, all hash joins. The Σ deg_in(v)·deg_out(v) wedge
+    landmine is the same one linkpred names: a hub mid-vertex fans out
+    quadratically. ``max_mid_degree`` prunes wedge centers whose
+    in-degree or out-degree exceeds the cap BEFORE the self-join (the
+    standard approximate-census guard; None = exact).
+    """
+    e = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .cache()
+    )
+    mid_in = e.groupBy(F.col("dst").alias("v")).agg(
+        F.count(F.lit(1)).alias("din")
+    )
+    mid_out = e.groupBy(F.col("src").alias("v")).agg(
+        F.count(F.lit(1)).alias("dout")
+    )
+    first = e.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    second = e.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    if max_mid_degree is not None:
+        ok_mid = (
+            mid_in.join(mid_out, "v")
+            .filter(
+                (F.col("din") <= max_mid_degree)
+                & (F.col("dout") <= max_mid_degree)
+            )
+            .select("v")
+        )
+        first = first.join(ok_mid, "v", "left_semi")
+        second = second.join(ok_mid, "v", "left_semi")
+    paths = first.join(second, "v").filter(F.col("u") != F.col("w")).cache()
+    n_two = paths.count()
+    n_trans = paths.join(
+        e.select(F.col("src").alias("u"), F.col("dst").alias("w")),
+        ["u", "w"],
+        "left_semi",
+    ).count()
+    n_cyc_closures = paths.join(
+        e.select(F.col("src").alias("w"), F.col("dst").alias("u")),
+        ["w", "u"],
+        "left_semi",
+    ).count()
+    paths.unpersist()
+    e.unpersist()
+    spark = edges.sparkSession
+    return spark.createDataFrame(
+        [(n_two, n_trans, n_cyc_closures // 3)],
+        "n_two_paths long, n_transitive long, n_cyclic long",
     )

@@ -44,7 +44,12 @@ from pyspark.sql import functions as F
 
 from plwordnet_spark.textops.quality import _words
 
-__all__ = ["bm25_topk", "unigram_surprisal", "build_postings"]
+__all__ = [
+    "bm25_topk",
+    "unigram_surprisal",
+    "bigram_surprisal",
+    "build_postings",
+]
 
 
 def _tf_dl(docs: DataFrame, text_col: str, id_col: str):
@@ -173,6 +178,73 @@ def unigram_surprisal(
             "doc_id",
             "n_tokens",
             F.round(F.col("sraw") / F.col("n_tokens"), round_to).alias(
+                "surprisal"
+            ),
+        )
+    )
+
+
+def bigram_surprisal(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-document mean conditional surprisal under the corpus bigram
+    MLE model — the word-ORDER-sensitive quality gate
+    :func:`unigram_surprisal` cannot express.
+
+    p(w | v) = c(v, w) / c(v, ·) over the whole corpus;
+    surprisal(d) = -(1/#bigrams) * sum over adjacent pairs of
+    ln p(w | v). Shuffled or template-stitched text keeps its unigram
+    profile but breaks its transitions, so it scores HIGH here while
+    passing a unigram gate; boilerplate scores low in both. Like the
+    unigram model, every document bigram occurs in the corpus counts at
+    least once (the corpus contains the document), so MLE probabilities
+    are never zero and no smoothing constant needs to be agreed on.
+
+    Scale shape: the adjacent-pair build is a codegen array expression
+    (no shuffle); then three dictionary-sized aggs — (doc, v, w) tf,
+    corpus c(v, w), prefix c(v, ·) — each with map-side partials, and
+    two term-keyed hash joins back. The prefix table is vocabulary-
+    sized (Zipf-small); the hot prefix key ("the") is absorbed by the
+    partial agg exactly like unigram's hot term. Documents with < 2
+    tokens produce no row (no transitions to score).
+
+    Returns (doc_id, n_bigrams, surprisal).
+    """
+    ws = _words(F.col(text_col))
+    pairs = F.when(
+        F.size(ws) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - 1),
+            lambda i: F.struct(
+                F.element_at(ws, i).alias("v"),
+                F.element_at(ws, i + F.lit(1)).alias("w"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<v:string,w:string>>"))
+    bi = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(pairs).alias("b")
+    ).select("doc_id", "b.v", "b.w")
+    tf2 = bi.groupBy("doc_id", "v", "w").agg(F.count(F.lit(1)).alias("tf"))
+    cvw = tf2.groupBy("v", "w").agg(F.sum("tf").alias("c_vw"))
+    cv = cvw.groupBy("v").agg(F.sum("c_vw").alias("c_v"))
+    return (
+        tf2.join(cvw, ["v", "w"])
+        .join(cv, "v")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_bigrams"),
+            F.sum(
+                -F.col("tf") * F.log(F.col("c_vw") / F.col("c_v"))
+            ).alias("sraw"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round(F.col("sraw") / F.col("n_bigrams"), round_to).alias(
                 "surprisal"
             ),
         )

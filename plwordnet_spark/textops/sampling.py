@@ -37,6 +37,7 @@ __all__ = [
     "stratified_sample",
     "sample_per_stratum",
     "weighted_sample_per_stratum",
+    "mixture_weights",
     "sample_hash",
     "SAMPLE_P",
     "SAMPLE_A",
@@ -161,4 +162,54 @@ def weighted_sample_per_stratum(
         .withColumn("_rn", rn)
         .filter(F.col("_rn") <= k)
         .drop("_rn")
+    )
+
+
+def mixture_weights(
+    docs: DataFrame,
+    *,
+    by: str = "source",
+    alpha: float = 0.3,
+    budget: int = 10_000,
+) -> DataFrame:
+    """Temperature-scaled sampling weights per stratum — the mixing
+    recipe multilingual / multi-source training corpora are drawn with
+    (mC4 / XLM-R style: w_s ∝ n_s^alpha with alpha < 1, which
+    up-weights tail strata relative to their raw share so the head
+    sources don't drown them; alpha = 1 is proportional, alpha = 0 is
+    uniform).
+
+    Returns one row per stratum: ``(by, n_docs, weight, expected_docs,
+    repeat_factor)`` where ``weight = n_s^alpha / Σ n_t^alpha``,
+    ``expected_docs = floor(weight · budget)`` and ``repeat_factor`` is
+    expected_docs-per-available-doc (> 1 means that stratum would be
+    repeated / multi-epoched at this budget — the early-warning signal
+    for upsampling-induced duplication).
+
+    Feeds :func:`stratified_sample` directly: ``rates = {s:
+    min(1.0, weight·budget / n_s)}``. Scale shape: one histogram-sized
+    groupBy (map-side partials) + a scalar broadcast — nothing here
+    touches row-level data twice.
+    """
+    counts = docs.groupBy(by).agg(F.count(F.lit(1)).alias("n_docs"))
+    powed = counts.withColumn(
+        "p", F.pow(F.col("n_docs").cast("double"), F.lit(float(alpha)))
+    )
+    tot = powed.agg(F.sum("p").alias("tp"))
+    share = F.col("p") / F.col("tp")
+    return powed.crossJoin(F.broadcast(tot)).select(
+        by,
+        "n_docs",
+        F.round(share, 6).alias("weight"),
+        # floor over the ROUNDED weight: the raw share is an engine-
+        # dependent double quotient, and floor(share·budget) flips on a
+        # 1-ULP difference whenever the product lands on an integer
+        # (e.g. perfectly balanced strata); rounding first makes the
+        # multiply IEEE-identical across engines
+        F.floor(F.round(share, 6) * F.lit(budget))
+        .cast("long")
+        .alias("expected_docs"),
+        F.round(share * F.lit(budget) / F.col("n_docs"), 6).alias(
+            "repeat_factor"
+        ),
     )

@@ -286,3 +286,42 @@ def test_skipgram_pairs_counts_multiplicity(spark):
         for r in skipgram_pairs(walks, window=2).collect()
     }
     assert got == {(1, 2): 2, (2, 1): 2}
+
+
+class TestMixtureWeights:
+    def test_matches_pure_python(self, spark):
+        from plwordnet_spark.textops.sampling import mixture_weights
+
+        labels = ["en"] * 60 + ["de"] * 30 + ["pl"] * 10
+        data = [(i, labels[i]) for i in range(100)]
+        df = spark.createDataFrame(data, ["doc_id", "source"])
+        got = {
+            r["source"]: (r["n_docs"], r["weight"], r["expected_docs"])
+            for r in mixture_weights(df, alpha=0.3, budget=1000).collect()
+        }
+        import math
+
+        counts = {"en": 60, "de": 30, "pl": 10}
+        tp = sum(n ** 0.3 for n in counts.values())
+        for s, n in counts.items():
+            w = n ** 0.3 / tp
+            assert got[s][0] == n
+            assert got[s][1] == round(w, 6)
+            assert got[s][2] == math.floor(w * 1000)
+
+    def test_alpha_flattens_toward_uniform(self, spark):
+        from plwordnet_spark.textops.sampling import mixture_weights
+
+        data = [(i, "big" if i < 90 else "small") for i in range(100)]
+        df = spark.createDataFrame(data, ["doc_id", "source"])
+        w03 = {r["source"]: r["weight"]
+               for r in mixture_weights(df, alpha=0.3).collect()}
+        w10 = {r["source"]: r["weight"]
+               for r in mixture_weights(df, alpha=1.0).collect()}
+        # alpha=1 reproduces raw proportions; alpha<1 lifts the tail
+        assert w10["small"] == 0.1
+        assert w03["small"] > 0.1
+        # repeat_factor flags upsampling-induced duplication
+        rf = {r["source"]: r["repeat_factor"]
+              for r in mixture_weights(df, alpha=0.3, budget=10_000).collect()}
+        assert rf["small"] > 1.0

@@ -57,3 +57,41 @@ def test_vertex_cover_covers_every_edge_and_is_2approx(spark):
         assert u in cover or v in cover
     n_matched = maximal_matching(spark, df).count()
     assert len(cover) == 2 * n_matched
+
+
+class TestCanonicalUrl:
+    CASES = {
+        # every rule in one URL: fragment, case, www, default port,
+        # trailing slash, tracking + unsorted params
+        "HTTPS://WWW.News.Example.COM:443/Doc/12/?utm_source=x&z=en&a=3#f":
+            "https://news.example.com/Doc/12?a=3&z=en",
+        "http://example.com:80/A/B?b=2&a=1": "http://example.com/A/B?a=1&b=2",
+        # bare host gains the root path; path case is preserved
+        "https://example.com": "https://example.com/",
+        "https://Example.com/Path/": "https://example.com/Path",
+        # tracking-only query vanishes entirely
+        "http://example.com/?utm_campaign=c": "http://example.com/",
+        "https://example.com/x?gclid=1&ref=h&keep=1&utm_x=2":
+            "https://example.com/x?keep=1",
+        # non-default port survives; :443 on http is NOT default
+        "http://example.com:443/p": "http://example.com:443/p",
+    }
+
+    def test_rules(self, spark):
+        from plwordnet_spark.frontier import canonical_url_expr
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [(u,) for u in self.CASES], "url string"
+        ).select("url", canonical_url_expr(F.col("url")).alias("c"))
+        got = {r["url"]: r["c"] for r in df.collect()}
+        assert got == self.CASES
+
+    def test_keep_www_option(self, spark):
+        from plwordnet_spark.frontier import canonical_url_expr
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [("https://www.example.com/a",)], "url string"
+        ).select(canonical_url_expr(F.col("url"), drop_www=False).alias("c"))
+        assert df.first()["c"] == "https://www.example.com/a"

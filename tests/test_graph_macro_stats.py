@@ -97,3 +97,46 @@ def test_avg_neighbor_degree_star_is_disassortative(spark):
     edges = _edges_df(spark, [(0, i) for i in range(1, 6)])
     got = {r["degree"]: r["avg_knn"] for r in avg_neighbor_degree(edges).collect()}
     assert got == {1: 5.0, 5: 1.0}
+
+
+class TestDirectedTriangleCensus:
+    @staticmethod
+    def _py_census(edges):
+        es = {(u, v) for u, v in edges if u != v}
+        two = trans = cyc3 = 0
+        for (u, v) in es:
+            for (v2, w) in es:
+                if v2 == v and w != u:
+                    two += 1
+                    if (u, w) in es:
+                        trans += 1
+                    if (w, u) in es:
+                        cyc3 += 1
+        return two, trans, cyc3 // 3
+
+    def _run(self, spark, edges, **kw):
+        from plwordnet_spark.graph.triangles import directed_triangle_census
+
+        df = spark.createDataFrame(edges, "src long, dst long")
+        r = directed_triangle_census(df, **kw).first()
+        return (r["n_two_paths"], r["n_transitive"], r["n_cyclic"])
+
+    def test_matches_pure_python_on_random_digraph(self, spark):
+        import random
+
+        rng = random.Random(23)
+        edges = [(rng.randrange(25), rng.randrange(25)) for _ in range(120)]
+        assert self._run(spark, edges) == self._py_census(edges)
+
+    def test_feed_forward_vs_cycle(self, spark):
+        # pure feed-forward: u->v, v->w, u->w
+        assert self._run(spark, [(1, 2), (2, 3), (1, 3)]) == (1, 1, 0)
+        # pure 3-cycle: 3 wedges, each closed cyclically, ONE triangle
+        assert self._run(spark, [(1, 2), (2, 3), (3, 1)]) == (3, 0, 1)
+
+    def test_mid_degree_cap_prunes_hub_wedges(self, spark):
+        # star hub 0 with 5 in + 5 out: 25 wedges through the hub,
+        # capped out entirely at max_mid_degree=4
+        edges = [(i, 0) for i in range(1, 6)] + [(0, i) for i in range(6, 11)]
+        assert self._run(spark, edges)[0] == 25
+        assert self._run(spark, edges, max_mid_degree=4)[0] == 0

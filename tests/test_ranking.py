@@ -127,3 +127,56 @@ def test_build_postings_bigrams(docs_df):
     assert "fox" not in rows  # unigrams absent in bigram mode
     with pytest.raises(ValueError):
         build_postings(docs_df, ngram=0)
+
+
+def _py_bigram_surprisal(docs):
+    from collections import Counter
+
+    doc_pairs = {
+        d: list(zip(ws, ws[1:]))
+        for d, t in docs
+        if len(ws := _tok(t)) >= 2
+    }
+    c_vw = Counter(p for ps in doc_pairs.values() for p in ps)
+    c_v = Counter()
+    for (v, _w), c in c_vw.items():
+        c_v[v] += c
+    out = {}
+    for d, ps in doc_pairs.items():
+        sraw = sum(-math.log(c_vw[p] / c_v[p[0]]) for p in ps)
+        out[d] = (len(ps), round(sraw / len(ps), 6))
+    return out
+
+
+def test_bigram_surprisal_matches_pure_python(docs_df):
+    from plwordnet_spark.textops.ranking import bigram_surprisal
+
+    got = {
+        r.doc_id: (r.n_bigrams, r.surprisal)
+        for r in bigram_surprisal(docs_df).collect()
+    }
+    exp = _py_bigram_surprisal(DOCS)
+    assert set(got) == set(exp)  # single-token and empty docs absent
+    for d in exp:
+        assert got[d][0] == exp[d][0]
+        assert got[d][1] == pytest.approx(exp[d][1], abs=1e-6)
+
+
+def test_bigram_surprisal_order_sensitivity(spark):
+    # same unigram profile, different transitions: the doc built from
+    # one repeated common phrase scores LOWER than the doc that chains
+    # each transition exactly once in scrambled order
+    from plwordnet_spark.textops.ranking import (
+        bigram_surprisal,
+        unigram_surprisal,
+    )
+
+    corpus = [(i, "a b c d a b c d a b c d") for i in range(5)]
+    corpus.append((100, "a b c d a b c d a b c d"))
+    corpus.append((101, "d c b a d b a c d a c b"))
+    df = spark.createDataFrame(corpus, ["doc_id", "text"])
+    bi = {r.doc_id: r.surprisal for r in bigram_surprisal(df).collect()}
+    assert bi[101] > bi[100]
+    # the unigram gate cannot separate them (identical token bags)
+    uni = {r.doc_id: r.surprisal for r in unigram_surprisal(df).collect()}
+    assert uni[101] == pytest.approx(uni[100], abs=1e-9)
