@@ -382,6 +382,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_scc": lambda s, d: _q_scc(s, d),
         "q_topo_levels": lambda s, d: _q_topo_levels(s, d),
         "q_triad_census": lambda s, d: _q_triad_census(s, d),
+        "q_wl_labels": lambda s, d: _q_wl_labels(s, d),
+        "q_host_boilerplate": lambda s, d: _q_host_boilerplate(s, d),
         "q_bowtie": lambda s, d: _q_bowtie(s, d),
         # --- graph rows-only (iterative; golden-tested in tests/) ---
         "q_pagerank_top": lambda s, d: _q_pagerank_top(s, d),
@@ -525,6 +527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 ).alias("cume"),
             )
         ),
+        "q_moments": lambda s, d: _q_moments(s, d),
         "q_corr_stats": lambda s, d: (
             _t(s, d, "lineitem")
             .groupBy("l_returnflag")
@@ -1196,6 +1199,51 @@ def _q_avg_nbr_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     from plwordnet_spark.graph.stats import avg_neighbor_degree
 
     return avg_neighbor_degree(_struct_edges(spark, sf_dir))
+
+
+def _q_wl_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed 1-WL color refinement (graph/wl.py): per-node structural-
+    role label after 3 rounds — template/mirror/hub discovery from link
+    shape alone. Commutative modular multiset hash makes the refinement
+    order-free and engine-replayable."""
+    from plwordnet_spark.graph.wl import wl_labels
+
+    return wl_labels(spark, _struct_edges(spark, sf_dir), iterations=3)
+
+
+def _wl_oracle_sql(iters: int = 3) -> str:
+    """Unrolled hashed-WL replay: same modular polynomial, same
+    symmetrized edge set, LEFT JOIN keeps isolated-side nodes (none in
+    the symmetrized table, kept for rule parity)."""
+    from plwordnet_spark.graph.wl import WL_A, WL_B, WL_C, WL_P
+
+    parts = [
+        f"""WITH edges AS MATERIALIZED ({_STRUCT_EDGE_SQL}),
+        sym AS MATERIALIZED (
+            SELECT DISTINCT u, v FROM (
+                SELECT src AS u, dst AS v FROM edges
+                UNION ALL
+                SELECT dst AS u, src AS v FROM edges
+            ) WHERE u <> v
+        ),
+        w0 AS (SELECT DISTINCT u AS id, CAST(1 AS BIGINT) AS l FROM sym)"""
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        parts.append(
+            f""",
+        w{i} AS MATERIALIZED (
+            SELECT n.id,
+                   ({WL_A} * n.l + COALESCE(s.t, 0)) % {WL_P} AS l
+            FROM w{p} n LEFT JOIN (
+                SELECT e.u AS id,
+                       SUM(({WL_B} * w.l + {WL_C}) % {WL_P}) % {WL_P} AS t
+                FROM sym e JOIN w{p} w ON w.id = e.v GROUP BY e.u
+            ) s ON s.id = n.id
+        )"""
+        )
+    parts.append(f"\n        SELECT id, l AS label FROM w{iters}")
+    return "".join(parts)
 
 
 def _q_triad_census(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3052,6 +3100,52 @@ def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return line_dedup(docs2, min_count=_LINE_MIN_COUNT)
 
 
+def _q_host_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Site-template detection (textops/lines.py host_boilerplate_lines):
+    pseudo-lines (3-token chunks, the q_line_dedup convention) present
+    on >= 8% of a host's pages (>= 2 of this table's 25-page hosts) —
+    per-SITE boilerplate the corpus-global
+    histogram can't see; host = document source."""
+    from plwordnet_spark.textops.lines import host_boilerplate_lines
+
+    k = _CHUNK_TOKENS
+    docs2 = _t(spark, sf_dir, "documents").selectExpr(
+        "source",
+        "doc_id",
+        "array_join(transform(sequence(0,"
+        f" cast(ceil(size(split(text, ' ')) / {k}.0) as int) - 1),"
+        f" i -> array_join(slice(split(text, ' '), i * {k} + 1, {k}), ' ')),"
+        " '\\n') AS text",
+    )
+    return host_boilerplate_lines(
+        docs2, min_frac=0.08, min_pages=5, host_col="source"
+    )
+
+
+def _host_boilerplate_oracle() -> str:
+    k = _CHUNK_TOKENS
+    return f"""
+        WITH base AS (SELECT source, doc_id, string_split(text, ' ') AS toks
+                      FROM documents),
+        ch AS (
+            SELECT DISTINCT base.source AS host, base.doc_id,
+                   array_to_string(
+                       base.toks[gs.i * {k} + 1 : gs.i * {k} + {k}], ' ') AS line
+            FROM base, UNNEST(generate_series(
+                0, CAST(ceil(len(base.toks) / {k}.0) AS BIGINT) - 1)) AS gs(i)
+        ),
+        hp AS (SELECT source AS host, CAST(count(*) AS BIGINT) AS host_pages
+               FROM documents GROUP BY source),
+        pl AS (SELECT host, line, CAST(count(*) AS BIGINT) AS n_pages
+               FROM ch GROUP BY host, line)
+        SELECT pl.host, pl.line, pl.n_pages, hp.host_pages,
+               ROUND(pl.n_pages * 1.0 / hp.host_pages, 6) AS frac
+        FROM pl JOIN hp USING (host)
+        WHERE hp.host_pages >= 5
+          AND pl.n_pages >= hp.host_pages * CAST(0.08 AS DOUBLE)
+    """
+
+
 def _line_dedup_oracle() -> str:
     k = _CHUNK_TOKENS
     return f"""
@@ -3352,6 +3446,40 @@ def _q_temporal_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     res = temporal_reachability(spark, edges, [0, 1, 2], start_time=2000)
     return res.state
+
+
+def _q_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness g1 = m3/m2^1.5 and excess kurtosis
+    g2 = m4/m2² − 3 of order totals per priority, computed from raw
+    power sums (Σx..Σx⁴) so both engines run the IDENTICAL arithmetic —
+    built-in skewness/kurtosis aggregates differ in bias convention
+    across engines, which is exactly what a cross-engine contract must
+    not depend on. One map-side-partial agg; no second pass."""
+    o = _t(spark, sf_dir, "orders")
+    x = F.col("o_totalprice")
+    agg = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).alias("s1"),
+        F.sum(x * x).alias("s2"),
+        F.sum(x * x * x).alias("s3"),
+        F.sum(x * x * x * x).alias("s4"),
+    )
+    mu = F.col("s1") / F.col("n")
+    m2 = F.col("s2") / F.col("n") - mu * mu
+    m3 = F.col("s3") / F.col("n") - 3 * mu * F.col("s2") / F.col("n") + 2 * mu * mu * mu
+    m4 = (
+        F.col("s4") / F.col("n")
+        - 4 * mu * F.col("s3") / F.col("n")
+        + 6 * mu * mu * F.col("s2") / F.col("n")
+        - 3 * mu * mu * mu * mu
+    )
+    return agg.select(
+        "o_orderpriority",
+        F.col("n").cast("long").alias("n"),
+        F.round(mu, 4).alias("mean"),
+        F.round(m3 / F.pow(m2, F.lit(1.5)), 6).alias("skewness"),
+        F.round(m4 / (m2 * m2) - 3, 6).alias("kurtosis"),
+    )
 
 
 def _q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4327,6 +4455,7 @@ def oracle_sql() -> dict[str, str]:
             FROM nodes n LEFT JOIN mutual m ON m.v = n.id
             GROUP BY n.id
         """,
+        "q_wl_labels": _wl_oracle_sql(),
         "q_triad_census": f"""
             WITH edges AS MATERIALIZED ({_STRUCT_EDGE_SQL}),
             paths AS MATERIALIZED (
@@ -4909,6 +5038,7 @@ def oracle_sql() -> dict[str, str]:
         "q_matching": _matching_oracle(),
         "q_stratified_sample": _stratified_sample_oracle(),
         "q_line_dedup": _line_dedup_oracle(),
+        "q_host_boilerplate": _host_boilerplate_oracle(),
         "q_contamination": _contamination_oracle(),
         "q_repetition": _repetition_oracle(),
         "q_containment": (
@@ -5111,6 +5241,32 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(cume_dist() OVER w, 6) AS cume
             FROM orders WHERE o_custkey < 100
             WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+        """,
+        "q_moments": """
+            WITH s AS (
+                SELECT o_orderpriority,
+                       CAST(count(*) AS DOUBLE) AS n,
+                       SUM(o_totalprice) AS s1,
+                       SUM(o_totalprice * o_totalprice) AS s2,
+                       SUM(o_totalprice * o_totalprice * o_totalprice) AS s3,
+                       SUM(o_totalprice * o_totalprice * o_totalprice
+                           * o_totalprice) AS s4
+                FROM orders GROUP BY o_orderpriority
+            ),
+            m AS (
+                SELECT o_orderpriority, n, s1 / n AS mu,
+                       s2 / n - (s1/n)*(s1/n) AS m2,
+                       s3 / n - 3*(s1/n)*s2/n + 2*(s1/n)*(s1/n)*(s1/n) AS m3,
+                       s4 / n - 4*(s1/n)*s3/n + 6*(s1/n)*(s1/n)*s2/n
+                           - 3*(s1/n)*(s1/n)*(s1/n)*(s1/n) AS m4
+                FROM s
+            )
+            SELECT o_orderpriority,
+                   CAST(n AS BIGINT) AS n,
+                   ROUND(mu, 4) AS mean,
+                   ROUND(m3 / pow(m2, 1.5), 6) AS skewness,
+                   ROUND(m4 / (m2 * m2) - 3, 6) AS kurtosis
+            FROM m
         """,
         "q_corr_stats": """
             SELECT l_returnflag,

@@ -1,0 +1,119 @@
+"""Weisfeiler-Lehman structural refinement labels (hashed 1-WL).
+
+Iterated neighborhood refinement: every node starts with the same
+label, and each round replaces a node's label with a digest of its own
+label plus the MULTISET of its neighbors' labels. After k rounds two
+nodes share a label only if their k-hop neighborhood structures agree —
+the classic color-refinement underlying WL graph kernels (Shervashidze
+et al., JMLR 2011) and the expressiveness ceiling of message-passing
+GNNs. On a web graph WL classes are STRUCTURAL ROLES: template pages,
+navigation hubs, leaf articles, and mirror sites fall into the same
+class without looking at any content — the link-shape complement of the
+content fingerprints in textops.quality.
+
+Instead of the sequential "sort the multiset, assign the next compact
+id" relabeling (inherently serial), labels are hashed with a
+commutative modular polynomial:
+
+    label'(v) = (A·label(v) + Σ_{u∈N(v)} (B·label(u) + C) mod P) mod P
+
+The neighbor sum is order-independent (a multiset hash), exact in int64
+(every term < 2^31, so the pre-mod sum is safe for degrees < 2^33), and
+replayable verbatim by any engine — which is how the driver oracle
+checks it. Equal labels therefore mean "same WL class" up to a mod-P
+hash collision (~n²/P birthday odds on label pairs); distinct labels
+are PROOF of structural difference. A production run chasing exact WL
+classes would widen to two independent (A, B, P) channels; one channel
+is what makes the operator oracle-replayable here.
+
+Scale shape — identical per-round traffic to PageRank's gather: one
+join of the cached, pre-partitioned edge list against the label state +
+one groupBy(sum) with map-side partial aggregation, state is exactly
+one row per node, and hub skew folds in the partial agg. Fixed
+iteration count (no convergence action), so the loop is k jobs flat.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from plwordnet_spark.graph.pregel import loop_tuning
+
+__all__ = ["wl_labels", "WL_P", "WL_A", "WL_B", "WL_C"]
+
+WL_P = 2_147_483_647  # 2^31 - 1 (prime): labels stay < 2^31
+WL_A = 1_103_515_245
+WL_B = 1_103_515_243
+WL_C = 12_345
+
+
+def wl_labels(
+    spark: SparkSession,
+    edges: DataFrame,
+    iterations: int = 3,
+    directed: bool = False,
+) -> DataFrame:
+    """edges(src, dst) → (id, label): the hashed 1-WL class of every
+    node after ``iterations`` refinement rounds (label is a long in
+    [0, 2^31)). ``directed=True`` refines over OUT-neighbors only;
+    default symmetrizes, matching the kernel-literature convention.
+    """
+    e = edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
+    if not directed:
+        e = e.unionByName(
+            edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+    rel = (
+        e.distinct()
+        .select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .repartition("u")
+        .cache()
+    )
+    n_rel = rel.count()
+
+    labels = (
+        rel.select(F.col("u").alias("id"))
+        .unionByName(rel.select(F.col("v").alias("id")))
+        .distinct()
+        .select("id", F.lit(1).cast("long").alias("label"))
+    ).localCheckpoint(eager=True)
+
+    with loop_tuning(spark, n_rel):
+        for _ in range(iterations):
+            contrib = (
+                rel.join(
+                    labels.select(
+                        F.col("id").alias("v"), F.col("label").alias("nl")
+                    ),
+                    "v",
+                )
+                .groupBy(F.col("u").alias("id"))
+                .agg(
+                    (
+                        F.sum(
+                            (F.lit(WL_B) * F.col("nl") + F.lit(WL_C))
+                            % F.lit(WL_P)
+                        )
+                        % F.lit(WL_P)
+                    ).alias("t")
+                )
+            )
+            labels = (
+                labels.join(contrib, "id", "left")
+                .select(
+                    "id",
+                    (
+                        (
+                            F.lit(WL_A) * F.col("label")
+                            + F.coalesce(F.col("t"), F.lit(0))
+                        )
+                        % F.lit(WL_P)
+                    ).alias("label"),
+                )
+                .localCheckpoint(eager=True)
+            )
+    rel.unpersist()
+    return labels

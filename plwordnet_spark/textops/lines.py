@@ -37,7 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["line_dedup", "repeated_lines"]
+__all__ = ["line_dedup", "repeated_lines", "host_boilerplate_lines"]
 
 
 def _exploded(docs: DataFrame, id_col: str, text_col: str, delim: str) -> DataFrame:
@@ -104,4 +104,61 @@ def line_dedup(
             ),
             join_delim,
         ).alias(text_col)
+    )
+
+
+def host_boilerplate_lines(
+    docs: DataFrame,
+    *,
+    min_frac: float = 0.5,
+    min_pages: int = 3,
+    host_col: str = "host",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delim: str = "\n",
+) -> DataFrame:
+    """Site-template detector: lines present in >= ``min_frac`` of a
+    host's pages (hosts with >= ``min_pages`` pages only).
+
+    The corpus-global histogram above catches web-WIDE boilerplate
+    ("All rights reserved"); per-host frequency catches each SITE's
+    template — nav bars, footers, category sidebars — which repeats on
+    most pages of one host but nowhere else, exactly the content a
+    main-text extractor must drop (the site-level generalization of
+    the reference's per-page REMOVE_PHRASES cleanup,
+    plwordnet_ml utils/comment.py). Presence is per PAGE (a line twice
+    on one page counts once), so frac is "share of the host's pages
+    carrying this line".
+
+    Returns ``(host, line, n_pages, host_pages, frac)``.
+
+    Shape: one distinct over (host, page, line) — partial-agg absorbs
+    within-page repeats — one (host, line) count, one join against the
+    host-size histogram (host-cardinality-sized, broadcast). Nothing
+    scales with corpus size except the explode itself.
+    """
+    lines = docs.select(
+        F.col(host_col).alias("host"),
+        F.col(id_col).alias("_doc"),
+        F.explode(F.split(F.col(text_col), delim)).alias("line"),
+    ).distinct()
+    host_pages = docs.groupBy(F.col(host_col).alias("host")).agg(
+        F.count(F.lit(1)).alias("host_pages")
+    )
+    per_line = lines.groupBy("host", "line").agg(
+        F.count(F.lit(1)).alias("n_pages")
+    )
+    return (
+        per_line.join(F.broadcast(host_pages), "host")
+        .filter(
+            (F.col("host_pages") >= min_pages)
+            & (F.col("n_pages") >= F.col("host_pages") * F.lit(min_frac))
+        )
+        .select(
+            "host",
+            "line",
+            "n_pages",
+            "host_pages",
+            F.round(F.col("n_pages") / F.col("host_pages"), 6).alias("frac"),
+        )
     )

@@ -325,3 +325,38 @@ class TestMixtureWeights:
         rf = {r["source"]: r["repeat_factor"]
               for r in mixture_weights(df, alpha=0.3, budget=10_000).collect()}
         assert rf["small"] > 1.0
+
+
+class TestHostBoilerplate:
+    def test_detects_site_template(self, spark):
+        from plwordnet_spark.textops.lines import host_boilerplate_lines
+
+        docs = []
+        # host A: 4 pages share a footer; one page also repeats it twice
+        for i in range(4):
+            extra = "\nFOOTER" if i == 0 else ""
+            docs.append((i, "a", f"unique {i}\nFOOTER{extra}"))
+        docs.append((4, "a", "no template here"))
+        # host B: 2 pages only — below min_pages
+        docs.append((10, "b", "FOOTER\nx"))
+        docs.append((11, "b", "FOOTER\ny"))
+        df = spark.createDataFrame(docs, ["doc_id", "host", "text"])
+        got = {
+            (r["host"], r["line"]): (r["n_pages"], r["host_pages"], r["frac"])
+            for r in host_boilerplate_lines(
+                df, min_frac=0.5, min_pages=3
+            ).collect()
+        }
+        # within-page repeat counted once: 4 of 5 pages, frac 0.8
+        assert got == {("a", "FOOTER"): (4, 5, 0.8)}
+
+    def test_frac_threshold(self, spark):
+        from plwordnet_spark.textops.lines import host_boilerplate_lines
+
+        docs = [(i, "h", "common\nrare" if i < 2 else "common") for i in range(10)]
+        df = spark.createDataFrame(docs, ["doc_id", "host", "text"])
+        lines = {
+            r["line"]
+            for r in host_boilerplate_lines(df, min_frac=0.5).collect()
+        }
+        assert lines == {"common"}

@@ -261,6 +261,61 @@ def main() -> int:
         "BroadcastHashJoin" in lplan and "LeftAnti" in lplan,
     )
 
+    # 18. URL canonicalization is pure codegen string ops: no exchange,
+    # no join, no UDF anywhere in the plan
+    from plwordnet_spark.frontier import canonical_url_expr
+
+    uplan = plan_of(
+        docs.select(
+            F.concat(F.lit("https://WWW.x.com/"), F.col("doc_id").cast("string")).alias("url")
+        ).select(canonical_url_expr(F.col("url")).alias("c"))
+    )
+    check(
+        "url canonicalization is zero-shuffle codegen (no Exchange/Join/UDF)",
+        "Exchange" not in uplan
+        and "Join" not in uplan
+        and "PythonUDF" not in uplan,
+    )
+
+    # 19. k-means assignment never shuffles the corpus: the centroid
+    # table reaches the scorer as a broadcast, and the only exchanges in
+    # the training step are the centroid-sized grouped means
+    from plwordnet_spark.vectors.ivf import kmeans_centroids, ivf_assign
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    cents = kmeans_centroids(emb, n_centroids=4, max_iters=1)
+    asg_plan = plan_of(ivf_assign(emb, cents).select("vec_id", "bucket"))
+    check(
+        "k-means assignment broadcasts centroids to the corpus",
+        "BroadcastNestedLoopJoin" in asg_plan or "BroadcastExchange" in asg_plan,
+    )
+
+    # 20. bigram surprisal's pair build is map-side: the first Exchange
+    # in the plan is the (doc, v, w) partial-agg shuffle, i.e. no
+    # exchange appears below the first hashAggregate over the explode
+    from plwordnet_spark.textops.ranking import bigram_surprisal
+
+    bplan = plan_of(bigram_surprisal(docs))
+    tree = bplan.split("\n\n")[0].splitlines()
+    gen_idx = [i for i, ln in enumerate(tree) if "Generate" in ln]
+    ok_fold = bool(gen_idx) and "partial_count" in bplan
+    for gi in gen_idx:
+        # walk up from each explode to its nearest aggregate: no
+        # exchange may sit between them (the pair count folds map-side)
+        for j in range(gi - 1, -1, -1):
+            if "HashAggregate" in tree[j]:
+                break
+            if "Exchange" in tree[j]:
+                ok_fold = False
+                break
+    check(
+        "bigram pair build folds map-side directly above the explode",
+        ok_fold,
+        f"{len(gen_idx)} explode(s) in tree",
+    )
+
     print()
     print("=== sample plans ===")
     for title, p in (("pushdown", plan), ("gather", gplan)):
