@@ -384,6 +384,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_triad_census": lambda s, d: _q_triad_census(s, d),
         "q_wl_labels": lambda s, d: _q_wl_labels(s, d),
         "q_host_boilerplate": lambda s, d: _q_host_boilerplate(s, d),
+        "q_strip_boilerplate": lambda s, d: _q_strip_boilerplate(s, d),
+        "q_eccentricity": lambda s, d: _q_eccentricity(s, d),
+        "q_cms_counts": lambda s, d: _q_cms_counts(s, d),
         "q_bowtie": lambda s, d: _q_bowtie(s, d),
         # --- graph rows-only (iterative; golden-tested in tests/) ---
         "q_pagerank_top": lambda s, d: _q_pagerank_top(s, d),
@@ -1199,6 +1202,55 @@ def _q_avg_nbr_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     from plwordnet_spark.graph.stats import avg_neighbor_degree
 
     return avg_neighbor_degree(_struct_edges(spark, sf_dir))
+
+
+def _q_eccentricity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node eccentricity (graph/centrality.py eccentricity) on the
+    derived graph — radius/diameter/center fall out of the profile;
+    shares the all-sources composite BFS with harmonic/closeness so the
+    oracle is the same APSP CTE with MAX instead of Σ1/d."""
+    from plwordnet_spark.graph.centrality import eccentricity
+
+    return eccentricity(spark, _derived_edges(spark, sf_dir), directed=False)
+
+
+def _q_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level main-content extraction (textops/lines.py
+    strip_host_boilerplate): learn each host's template lines from
+    cross-page frequency (q_host_boilerplate's pass), then delete them
+    from every page of that host, preserving line order. Same 3-token
+    pseudo-lines and host=source as the other line contracts."""
+    from plwordnet_spark.textops.lines import strip_host_boilerplate
+
+    k = _CHUNK_TOKENS
+    docs2 = _t(spark, sf_dir, "documents").selectExpr(
+        "source",
+        "doc_id",
+        "array_join(transform(sequence(0,"
+        f" cast(ceil(size(split(text, ' ')) / {k}.0) as int) - 1),"
+        f" i -> array_join(slice(split(text, ' '), i * {k} + 1, {k}), ' ')),"
+        " '\\n') AS text",
+    )
+    return strip_host_boilerplate(
+        docs2, min_frac=0.08, min_pages=5, host_col="source"
+    )
+
+
+def _q_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (sketches.py): build a 3×32 counter grid over
+    the event stream's user ids, then point-estimate every distinct
+    user against the exact count — (user_id, exact, est) with
+    est >= exact by construction, collisions visible at this width.
+    Deterministic congruential hashes make the whole sketch SQL-
+    replayable; grids merge by element-wise sum (pytest)."""
+    from plwordnet_spark.sketches import cms_build, cms_estimate
+
+    ev = _t(spark, sf_dir, "events").select("user_id")
+    grid = cms_build(ev, "user_id", width=32, depth=3)
+    keys = ev.distinct()
+    est = cms_estimate(grid, keys, "user_id", width=32, depth=3)
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact"))
+    return exact.join(est, "user_id").select("user_id", "exact", "est")
 
 
 def _q_wl_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3146,6 +3198,79 @@ def _host_boilerplate_oracle() -> str:
     """
 
 
+def _strip_boilerplate_oracle() -> str:
+    k = _CHUNK_TOKENS
+    return f"""
+        WITH base AS (SELECT source, doc_id, string_split(text, ' ') AS toks
+                      FROM documents),
+        ch AS (
+            SELECT base.source AS host, base.doc_id, gs.i AS pos,
+                   array_to_string(
+                       base.toks[gs.i * {k} + 1 : gs.i * {k} + {k}], ' ') AS line
+            FROM base, UNNEST(generate_series(
+                0, CAST(ceil(len(base.toks) / {k}.0) AS BIGINT) - 1)) AS gs(i)
+        ),
+        hp AS (SELECT source AS host, CAST(count(*) AS BIGINT) AS host_pages
+               FROM documents GROUP BY source),
+        pl AS (SELECT host, line, CAST(count(*) AS BIGINT) AS n_pages
+               FROM (SELECT DISTINCT host, doc_id, line FROM ch)
+               GROUP BY host, line),
+        tpl AS (
+            SELECT pl.host, pl.line FROM pl JOIN hp USING (host)
+            WHERE hp.host_pages >= 5
+              AND pl.n_pages >= hp.host_pages * CAST(0.08 AS DOUBLE)
+        )
+        SELECT ch.host AS source, ch.doc_id,
+               string_agg(ch.line, chr(10) ORDER BY ch.pos) AS text
+        FROM ch
+        WHERE NOT EXISTS (
+            SELECT 1 FROM tpl
+            WHERE tpl.host = ch.host AND tpl.line = ch.line
+        )
+        GROUP BY ch.host, ch.doc_id
+    """
+
+
+def _cms_oracle_sql(width: int = 32, depth: int = 3) -> str:
+    from plwordnet_spark.sketches import CMS_P, DEPTH_SEEDS
+
+    vals = ", ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(DEPTH_SEEDS[:depth])
+    )
+    return f"""
+        WITH seeds AS (SELECT * FROM (VALUES {vals}) AS t(i, a, b)),
+        ev AS (SELECT user_id FROM events),
+        h AS (
+            SELECT e.user_id, s.i,
+                   ((e.user_id % {CMS_P}) * s.a + s.b) % {CMS_P} % {width}
+                       AS slot
+            FROM ev e CROSS JOIN seeds s
+        ),
+        counters AS (
+            SELECT i, slot, CAST(count(*) AS BIGINT) AS c
+            FROM h GROUP BY i, slot
+        ),
+        keys AS (SELECT DISTINCT user_id FROM ev),
+        kh AS (
+            SELECT k.user_id, s.i,
+                   ((k.user_id % {CMS_P}) * s.a + s.b) % {CMS_P} % {width}
+                       AS slot
+            FROM keys k CROSS JOIN seeds s
+        ),
+        est AS (
+            SELECT kh.user_id, MIN(COALESCE(c.c, 0)) AS est
+            FROM kh LEFT JOIN counters c ON c.i = kh.i AND c.slot = kh.slot
+            GROUP BY kh.user_id
+        ),
+        exact AS (
+            SELECT user_id, CAST(count(*) AS BIGINT) AS exact
+            FROM ev GROUP BY user_id
+        )
+        SELECT exact.user_id, exact.exact, est.est
+        FROM exact JOIN est ON est.user_id = exact.user_id
+    """
+
+
 def _line_dedup_oracle() -> str:
     k = _CHUNK_TOKENS
     return f"""
@@ -5039,6 +5164,12 @@ def oracle_sql() -> dict[str, str]:
         "q_stratified_sample": _stratified_sample_oracle(),
         "q_line_dedup": _line_dedup_oracle(),
         "q_host_boilerplate": _host_boilerplate_oracle(),
+        "q_strip_boilerplate": _strip_boilerplate_oracle(),
+        "q_cms_counts": _cms_oracle_sql(),
+        "q_eccentricity": f"""
+            {_apsp_cte()}
+            SELECT id, MAX(d) AS ecc FROM mind WHERE d > 0 GROUP BY id
+        """,
         "q_contamination": _contamination_oracle(),
         "q_repetition": _repetition_oracle(),
         "q_containment": (

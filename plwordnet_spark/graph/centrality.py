@@ -46,6 +46,8 @@ __all__ = [
     "closeness_centrality",
     "eigenvector_centrality",
     "harmonic_centrality",
+    "eccentricity",
+    "radius_diameter",
 ]
 
 
@@ -362,4 +364,58 @@ def betweenness_centrality(
     for lv in levels:
         lv.unpersist()
     rel.unpersist()
+    return out
+
+
+def eccentricity(
+    spark: SparkSession,
+    edges: DataFrame,
+    directed: bool = False,
+    max_iterations: int = 100,
+) -> DataFrame:
+    """(id, ecc): each node's eccentricity — the maximum hop distance
+    to any node that reaches it (within its component). Radius =
+    min(ecc), diameter = max(ecc), the center is the argmin set and
+    the periphery the argmax set; the seed-placement signal for
+    landmark selection (central landmarks tighten the d(u,L)+d(L,v)
+    distance-oracle bound) and the exact counterpart of the effective
+    diameter q_anf_hll estimates.
+
+    Same all-sources composite BFS as harmonic/closeness (every edge
+    scan shared across sources, diameter-many shuffles TOTAL), then one
+    histogram-shrinking max per node. Exact all-sources is the
+    test/small-graph mode; at web scale run the flood from a sample and
+    read a lower-bound eccentricity profile, or take two BFS sweeps for
+    the classic diameter lower bound.
+    """
+    d = _distances(spark, edges, None, directed, max_iterations)
+    return d.groupBy("id").agg(F.max("dist").alias("ecc"))
+
+
+def radius_diameter(
+    spark: SparkSession,
+    edges: DataFrame,
+    directed: bool = False,
+    max_iterations: int = 100,
+) -> DataFrame:
+    """One-row graph summary from the eccentricity profile:
+    ``(radius, diameter, n_center, n_periphery)``."""
+    ecc = eccentricity(spark, edges, directed, max_iterations).cache()
+    summary = ecc.agg(
+        F.min("ecc").alias("radius"), F.max("ecc").alias("diameter")
+    )
+    out = (
+        ecc.crossJoin(F.broadcast(summary))
+        .agg(
+            F.first("radius").alias("radius"),
+            F.first("diameter").alias("diameter"),
+            F.sum(
+                F.when(F.col("ecc") == F.col("radius"), 1).otherwise(0)
+            ).alias("n_center"),
+            F.sum(
+                F.when(F.col("ecc") == F.col("diameter"), 1).otherwise(0)
+            ).alias("n_periphery"),
+        )
+    ).localCheckpoint(eager=True)
+    ecc.unpersist()
     return out

@@ -37,7 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["line_dedup", "repeated_lines", "host_boilerplate_lines"]
+__all__ = ["line_dedup", "repeated_lines", "host_boilerplate_lines", "strip_host_boilerplate"]
 
 
 def _exploded(docs: DataFrame, id_col: str, text_col: str, delim: str) -> DataFrame:
@@ -161,4 +161,55 @@ def host_boilerplate_lines(
             "host_pages",
             F.round(F.col("n_pages") / F.col("host_pages"), 6).alias("frac"),
         )
+    )
+
+
+def strip_host_boilerplate(
+    docs: DataFrame,
+    *,
+    min_frac: float = 0.5,
+    min_pages: int = 3,
+    host_col: str = "host",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delim: str = "\n",
+    join_delim: str = "\n",
+) -> DataFrame:
+    """Main-content extraction at the corpus level: delete every line
+    that :func:`host_boilerplate_lines` flags as its host's template,
+    re-assembling each page's surviving lines in original order.
+
+    Returns ``(host_col, id_col, text_col)``; pages that were ALL
+    template vanish (the line_dedup convention — count the diff for a
+    removal report). This is the two-pass trafilatura-style cleanup a
+    single-page extractor cannot do: pass 1 learns each site's template
+    from line frequency across the host's pages, pass 2 is one
+    anti-join against the (host, line) template set — broadcast-sized,
+    since templates are bounded by sites × template lines, not corpus
+    size — and the same array_sort(collect_list) order-restoring
+    re-assembly as :func:`line_dedup`.
+    """
+    tpl = host_boilerplate_lines(
+        docs,
+        min_frac=min_frac,
+        min_pages=min_pages,
+        host_col=host_col,
+        id_col=id_col,
+        text_col=text_col,
+        delim=delim,
+    ).select(F.col("host").alias(host_col), "line")
+    ex = docs.select(
+        F.col(host_col),
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), delim)).alias("pos", "line"),
+    )
+    kept = ex.join(tpl, [host_col, "line"], "left_anti")
+    return kept.groupBy(host_col, id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            join_delim,
+        ).alias(text_col)
     )

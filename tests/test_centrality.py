@@ -164,3 +164,37 @@ def test_betweenness_path_graph_closed_form(spark):
         for r in betweenness_centrality(spark, edges, directed=True).collect()
     }
     assert got == {0: 0.0, 1: 3.0, 2: 4.0, 3: 3.0, 4: 0.0}
+
+
+class TestEccentricity:
+    def test_matches_networkx(self, spark):
+        import random
+
+        rng = random.Random(17)
+        while True:
+            edges = [
+                (rng.randrange(15), rng.randrange(15)) for _ in range(25)
+            ]
+            edges = [(u, v) for u, v in edges if u != v]
+            g = nx.Graph(edges)
+            if nx.is_connected(g):
+                break
+        from plwordnet_spark.graph.centrality import eccentricity
+
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            r["id"]: r["ecc"]
+            for r in eccentricity(spark, df).collect()
+        }
+        assert got == nx.eccentricity(g)
+
+    def test_radius_diameter_summary(self, spark):
+        # path 0-1-2-3-4: radius 2 (center {2}), diameter 4 (ends)
+        edges = [(i, i + 1) for i in range(4)]
+        from plwordnet_spark.graph.centrality import radius_diameter
+
+        df = spark.createDataFrame(edges, "src long, dst long")
+        r = radius_diameter(spark, df).first()
+        assert (r["radius"], r["diameter"], r["n_center"], r["n_periphery"]) == (
+            2, 4, 1, 2,
+        )

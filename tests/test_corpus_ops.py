@@ -360,3 +360,33 @@ class TestHostBoilerplate:
             for r in host_boilerplate_lines(df, min_frac=0.5).collect()
         }
         assert lines == {"common"}
+
+
+class TestStripHostBoilerplate:
+    def test_strips_template_keeps_content(self, spark):
+        from plwordnet_spark.textops.lines import strip_host_boilerplate
+
+        docs = [(i, "a", f"unique {i}\nFOOTER") for i in range(4)]
+        docs.append((4, "a", "FOOTER"))  # all-template page vanishes
+        docs.append((10, "b", "FOOTER\nkeep"))  # host b below min_pages
+        docs.append((11, "b", "FOOTER\nalso keep"))
+        df = spark.createDataFrame(docs, ["doc_id", "host", "text"])
+        got = {
+            r["doc_id"]: r["text"]
+            for r in strip_host_boilerplate(
+                df, min_frac=0.5, min_pages=3
+            ).collect()
+        }
+        assert got == {
+            0: "unique 0", 1: "unique 1", 2: "unique 2", 3: "unique 3",
+            10: "FOOTER\nkeep", 11: "FOOTER\nalso keep",
+        }
+
+    def test_line_order_preserved(self, spark):
+        from plwordnet_spark.textops.lines import strip_host_boilerplate
+
+        docs = [(i, "h", f"x{i}\nTPL\ny{i}\nz{i}") for i in range(5)]
+        df = spark.createDataFrame(docs, ["doc_id", "host", "text"])
+        got = strip_host_boilerplate(df, min_frac=0.5, min_pages=3)
+        row = {r["doc_id"]: r["text"] for r in got.collect()}[2]
+        assert row == "x2\ny2\nz2"
