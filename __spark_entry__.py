@@ -457,6 +457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_asof_join": lambda s, d: _q_asof_join(s, d),
         "q_range_join": lambda s, d: _q_range_join(s, d),
         "q_random_walks": lambda s, d: _q_random_walks(s, d),
+        "q_node2vec_walks": lambda s, d: _q_node2vec_walks(s, d),
         "q_skipgram": lambda s, d: _q_skipgram(s, d),
         "q_ppr_batch": lambda s, d: _q_ppr_batch(s, d),
         # --- round-5 widening: behavior sequences, distribution stats, OLAP ---
@@ -627,6 +628,87 @@ def _q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("step").cast("long").alias("step"),
         "node",
     )
+
+
+def _q_node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-order node2vec walks (graph/walks.py node2vec_walks,
+    p=2, q=4 — anti-backtrack, BFS-leaning): the biased-sampling
+    upgrade of q_random_walks. Same congruential sampler, so the DuckDB
+    oracle replays the exact SEQUENCES through the precomputed
+    second-order CDF (p, q powers of two keep the bias arithmetic
+    IEEE-exact)."""
+    from plwordnet_spark.graph.walks import node2vec_walks
+
+    edges = _derived_weighted_edges(spark, sf_dir)
+    res = node2vec_walks(
+        spark, edges, walk_length=5, p=2.0, q=4.0, walks_per_node=2, seed=7
+    )
+    return res.select(
+        "start",
+        F.col("walk").cast("long").alias("walk"),
+        F.col("step").cast("long").alias("step"),
+        "node",
+    )
+
+
+def _node2vec_oracle_sql() -> str:
+    """Recursive replay of the p=2/q=4 biased walks: first-order CDF
+    under sentinel prev=-1, second-order CDF over (prev, cur, next)
+    wedges (return /2, prev-neighbor ×1, else /4), one unified join per
+    recursion step. seed=7 -> (7*104729 + 12345) % 1000003 = 745448."""
+    u_sql = """CAST((((
+                        (w.start % 1000003) * 743177
+                        + (w.walk * 15485863) % 1000003
+                        + ((w.step + 1) * 499979) % 1000003
+                        + 745448
+                      ) % 1000003) * 499979 + 12345) % 1000003 AS DOUBLE)
+                      / 1000003"""
+    return f"""
+        WITH RECURSIVE edges AS MATERIALIZED (
+            {_WEIGHTED_EDGE_SQL_DERIVATION}
+        ),
+        cdf1 AS MATERIALIZED (
+            SELECT CAST(-1 AS BIGINT) AS prev, src, dst,
+                   (SUM(w) OVER (PARTITION BY src ORDER BY dst) - w)
+                     / SUM(w) OVER (PARTITION BY src) AS cdf_lo,
+                   SUM(w) OVER (PARTITION BY src ORDER BY dst)
+                     / SUM(w) OVER (PARTITION BY src) AS cdf_hi
+            FROM edges
+        ),
+        wedge AS MATERIALIZED (
+            SELECT a.src AS prev, a.dst AS src, b.dst AS dst,
+                   CASE WHEN b.dst = a.src THEN b.w / 2.0
+                        WHEN c.src IS NOT NULL THEN b.w
+                        ELSE b.w / 4.0 END AS w
+            FROM edges a
+            JOIN edges b ON b.src = a.dst
+            LEFT JOIN edges c ON c.src = a.src AND c.dst = b.dst
+        ),
+        cdf2 AS MATERIALIZED (
+            SELECT prev, src, dst,
+                   (SUM(w) OVER (PARTITION BY prev, src ORDER BY dst) - w)
+                     / SUM(w) OVER (PARTITION BY prev, src) AS cdf_lo,
+                   SUM(w) OVER (PARTITION BY prev, src ORDER BY dst)
+                     / SUM(w) OVER (PARTITION BY prev, src) AS cdf_hi
+            FROM wedge
+        ),
+        cdfall AS MATERIALIZED (
+            SELECT * FROM cdf1 UNION ALL SELECT * FROM cdf2
+        ),
+        starts AS (SELECT DISTINCT src AS start FROM edges),
+        walk(start, walk, step, prev, node) AS (
+            SELECT start, k.walk, CAST(0 AS BIGINT), CAST(-1 AS BIGINT), start
+            FROM starts, (SELECT UNNEST(range(2)) AS walk) k
+            UNION ALL
+            SELECT w.start, w.walk, w.step + 1, w.node, c.dst
+            FROM walk w
+            JOIN cdfall c ON c.prev = w.prev AND c.src = w.node
+            WHERE w.step < 5
+              AND c.cdf_lo <= {u_sql}
+              AND {u_sql} < c.cdf_hi
+        )
+        SELECT start, walk, step, node FROM walk
+    """
 
 
 def _q_skipgram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4882,6 +4964,7 @@ def oracle_sql() -> dict[str, str]:
             {_WALKS_RECURSIVE_SQL}
             SELECT start, walk, step, node FROM walk
         """,
+        "q_node2vec_walks": _node2vec_oracle_sql(),
         "q_skipgram": f"""
             {_WALKS_RECURSIVE_SQL},
             sel AS (

@@ -48,7 +48,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-__all__ = ["random_walks", "skipgram_pairs", "walk_u_expr"]
+__all__ = ["random_walks", "node2vec_walks", "skipgram_pairs", "walk_u_expr"]
 
 _P = 1_000_003
 _R1 = 743_177
@@ -190,3 +190,139 @@ def skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
         fwd.select(F.col("context").alias("center"), F.col("center").alias("context"))
     )
     return both.groupBy("center", "context").agg(F.count(F.lit(1)).alias("n"))
+
+
+def node2vec_walks(
+    spark: SparkSession,
+    edges: DataFrame,
+    walk_length: int,
+    p: float = 1.0,
+    q: float = 1.0,
+    walks_per_node: int = 1,
+    seed: int = 42,
+    weighted: bool = True,
+    start_nodes: DataFrame | None = None,
+) -> DataFrame:
+    """Second-order (node2vec) biased walks: like :func:`random_walks`,
+    but the transition out of ``cur`` re-weights each out-edge
+    ``cur→next`` by the walker's PREVIOUS node (Grover & Leskovec, KDD
+    2016 §3.2): ×1/p if ``next == prev`` (return), ×1 if the edge
+    ``prev→next`` exists (stay in prev's neighborhood — directed
+    convention here), ×1/q otherwise (explore). p > 1 discourages
+    backtracking, q > 1 keeps walks local (BFS-like), q < 1 pushes them
+    outward (DFS-like).
+
+    Implementation is the alias-table analog in join form: the
+    second-order CDF is PRECOMPUTED over all (prev, cur, next) wedges —
+    one self-join + one membership left-join + one (prev, cur) window —
+    and each superstep is then exactly the first-order plan: one
+    equi-join of the frontier against the cached CDF on (prev, cur),
+    the u-span filter keeping one edge per walker. Step 1 has no prev
+    and draws from the first-order CDF, stored in the same table under
+    the sentinel ``prev = -1`` (node ids must be >= 0), so every step
+    is ONE join against ONE table.
+
+    The wedge table is node2vec's documented memory cost — Σ_cur
+    in-deg(cur)·out-deg(cur) rows, quadratic at hub nodes (the same
+    landmine q_triad_census and linkpred name; cap hubs upstream if the
+    graph needs it). Sampling reuses :func:`walk_u_expr`, so sequences
+    stay deterministic and engine-replayable; with p, q powers of two
+    the bias arithmetic is exact in IEEE doubles and the DuckDB oracle
+    replays the identical sequences.
+    """
+    if walk_length < 0:
+        raise ValueError("walk_length must be >= 0")
+    if walks_per_node < 1:
+        raise ValueError("walks_per_node must be >= 1")
+    if p <= 0 or q <= 0:
+        raise ValueError("p and q must be > 0")
+    weight_col = (
+        F.col("weight") if weighted and "weight" in edges.columns else F.lit(1.0)
+    )
+    edge_w = (
+        edges.select("src", "dst", weight_col.cast("double").alias("w"))
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.sum("w").alias("w"))
+        .cache()
+    )
+
+    def _spans(df: DataFrame, keys: list[str]) -> DataFrame:
+        w_tot = Window.partitionBy(*keys)
+        w_cum = Window.partitionBy(*keys).orderBy("dst").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        return (
+            df.withColumn("_tot", F.sum("w").over(w_tot))
+            .withColumn("_cum", F.sum("w").over(w_cum))
+            .select(
+                *keys,
+                "dst",
+                ((F.col("_cum") - F.col("w")) / F.col("_tot")).alias("cdf_lo"),
+                (F.col("_cum") / F.col("_tot")).alias("cdf_hi"),
+            )
+        )
+
+    cdf1 = _spans(edge_w, ["src"]).select(
+        F.lit(-1).cast("long").alias("prev"), "src", "dst", "cdf_lo", "cdf_hi"
+    )
+    a = edge_w.select(F.col("src").alias("prev"), F.col("dst").alias("src"))
+    b = edge_w.select("src", "dst", "w")
+    chk = edge_w.select(
+        F.col("src").alias("prev"), F.col("dst").alias("dst"), F.lit(1).alias("_adj")
+    )
+    wedge = (
+        a.join(b, "src")
+        .join(chk, ["prev", "dst"], "left")
+        .select(
+            "prev",
+            "src",
+            "dst",
+            F.when(F.col("dst") == F.col("prev"), F.col("w") / F.lit(float(p)))
+            .when(F.col("_adj").isNotNull(), F.col("w"))
+            .otherwise(F.col("w") / F.lit(float(q)))
+            .alias("w"),
+        )
+    )
+    cdf_all = (
+        cdf1.unionByName(_spans(wedge, ["prev", "src"]))
+        .repartition("prev", "src")
+        .cache()
+    )
+    cdf_all.count()
+    edge_w.unpersist()
+
+    starts = (
+        start_nodes.select(F.col("id").alias("start"))
+        if start_nodes is not None
+        else cdf_all.filter(F.col("prev") == -1)
+        .select(F.col("src").alias("start"))
+        .distinct()
+    )
+    frontier = starts.select(
+        "start",
+        F.explode(F.sequence(F.lit(0), F.lit(walks_per_node - 1))).alias("walk"),
+        F.lit(-1).cast("long").alias("prev"),
+        F.col("start").alias("node"),
+    )
+    out = frontier.select("start", "walk", F.lit(0).alias("step"), "node")
+    for step in range(1, walk_length + 1):
+        u = walk_u_expr(F.col("start"), F.col("walk"), step, seed)
+        frontier = (
+            frontier.withColumnRenamed("node", "src")
+            .join(cdf_all, ["prev", "src"])
+            .withColumn("_u", u)
+            .filter((F.col("cdf_lo") <= F.col("_u")) & (F.col("_u") < F.col("cdf_hi")))
+            .select(
+                "start",
+                "walk",
+                F.col("src").alias("prev"),
+                F.col("dst").alias("node"),
+            )
+        )
+        frontier = frontier.localCheckpoint(eager=True)
+        out = out.unionByName(
+            frontier.select("start", "walk", F.lit(step).alias("step"), "node")
+        )
+    cdf_all.unpersist()
+    return out
