@@ -532,6 +532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         ),
         "q_moments": lambda s, d: _q_moments(s, d),
+        "q_zorder": lambda s, d: _q_zorder(s, d),
         "q_corr_stats": lambda s, d: (
             _t(s, d, "lineitem")
             .groupBy("l_returnflag")
@@ -3689,6 +3690,42 @@ def _q_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) codes (storage/zorder.py z_value_expr) over the
+    quantized (custkey, orderkey) plane — the multi-dimensional
+    clustering key write_zordered sorts by so parquet min/max stats
+    skip row groups on BOTH dimensions (Delta/Iceberg OPTIMIZE ZORDER
+    from first principles; layout evidence in BENCH/ZORDER.md +
+    test_zorder.py's footer-stats comparison)."""
+    from plwordnet_spark.storage.zorder import z_value_expr
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_custkey") % 256).cast("long").alias("x"),
+        (F.col("o_orderkey") % 256).cast("long").alias("y"),
+    )
+    return o.select(
+        "o_orderkey", "x", "y", z_value_expr(["x", "y"], bits=8).alias("z")
+    )
+
+
+def _zorder_oracle_sql(bits: int = 8) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"(((x >> {i}) & 1) << {i * 2})")
+        terms.append(f"(((y >> {i}) & 1) << {i * 2 + 1})")
+    z = " + ".join(terms)
+    return f"""
+        WITH q AS (
+            SELECT o_orderkey,
+                   CAST(o_custkey % 256 AS BIGINT) AS x,
+                   CAST(o_orderkey % 256 AS BIGINT) AS y
+            FROM orders
+        )
+        SELECT o_orderkey, x, y, CAST({z} AS BIGINT) AS z FROM q
+    """
+
+
 def _q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mC4/XLM-R temperature-sampled source mixture (textops/sampling.py
     mixture_weights): w_s ∝ n_s^0.3 over document sources,
@@ -5456,6 +5493,7 @@ def oracle_sql() -> dict[str, str]:
             FROM orders WHERE o_custkey < 100
             WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
         """,
+        "q_zorder": _zorder_oracle_sql(),
         "q_moments": """
             WITH s AS (
                 SELECT o_orderpriority,
