@@ -366,6 +366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cosine_topk": lambda s, d: _q_cosine_topk(s, d),
         "q_ivf_topk": lambda s, d: _q_ivf_topk(s, d),
         "q_kmeans": lambda s, d: _q_kmeans(s, d),
+        "q_semdedup": lambda s, d: _q_semdedup(s, d),
         # --- relation expansion (J2/J3 ★) with SQL oracles ---
         "q_group_expansion": lambda s, d: _q_group_expansion(s, d),
         "q_synonymy_cliques": lambda s, d: _q_synonymy_cliques(s, d),
@@ -1049,12 +1050,18 @@ def _q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_oracle_sql(n_centroids: int = 8, iters: int = 3) -> str:
+def _kmeans_oracle_sql(
+    n_centroids: int = 8, iters: int = 3, final: str | None = None
+) -> str:
     """Fully unrolled Lloyd replay in portable SQL: long-form (id, pos,
     x) vectors, per-iteration argmax assignment (score DESC, bucket ASC
     tie-break — same as ivf.py _assign), per-bucket per-dimension AVG,
     re-normalize, empty buckets keep the previous centroid. CTEs
-    MATERIALIZED so DuckDB does not re-expand the iteration chain."""
+    MATERIALIZED so DuckDB does not re-expand the iteration chain.
+    ``final`` overrides the closing SELECT (the chain ends at the
+    post-training assignment CTE ``a{iters+1}``, with ``vn`` the
+    normalized long-form vectors) — q_semdedup reuses the chain for
+    within-cluster pair similarity."""
     parts = [
         """WITH v AS MATERIALIZED (
             SELECT vec_id AS id,
@@ -1121,7 +1128,10 @@ def _kmeans_oracle_sql(n_centroids: int = 8, iters: int = 3) -> str:
                     PARTITION BY id ORDER BY s DESC, bucket) AS rn
                 FROM s{f}
             ) WHERE rn = 1
-        )
+        )"""
+    )
+    if final is None:
+        final = f"""
         SELECT CAST(bucket AS INTEGER) AS bucket,
                CAST(count(*) AS BIGINT) AS n_members,
                CAST(min(id) AS BIGINT) AS min_member,
@@ -1129,8 +1139,42 @@ def _kmeans_oracle_sql(n_centroids: int = 8, iters: int = 3) -> str:
                ROUND(avg(s), 4) AS avg_sim
         FROM a{f}
         GROUP BY bucket"""
-    )
+    parts.append(final)
     return "".join(parts)
+
+
+def _q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic near-duplicate pairs (vectors/ivf.py
+    semdedup_pairs): oracle-pinned k-means gates the O(n²) cosine to
+    within-cluster pairs; threshold 0.35 on these embeddings surfaces
+    the label-correlated neighbors. The semantic complement of
+    q_minhash_dup_pairs' lexical dedup."""
+    from plwordnet_spark.vectors.ivf import semdedup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return semdedup_pairs(
+        emb, n_centroids=8, max_iters=3, threshold=0.35
+    ).select("id_a", "id_b", F.round("sim", 4).alias("sim"))
+
+
+def _semdedup_oracle_sql(threshold: float = 0.35) -> str:
+    final = f""",
+        p AS MATERIALIZED (
+            SELECT a.id AS id_a, b.id AS id_b
+            FROM a4 a JOIN a4 b ON a.bucket = b.bucket AND a.id < b.id
+        ),
+        sims AS (
+            SELECT p.id_a, p.id_b, SUM(va.x * vb.x) AS s
+            FROM p
+            JOIN vn va ON va.id = p.id_a
+            JOIN vn vb ON vb.id = p.id_b AND vb.pos = va.pos
+            GROUP BY p.id_a, p.id_b
+        )
+        SELECT id_a, id_b, ROUND(s, 4) AS sim
+        FROM sims WHERE s >= {threshold}"""
+    return _kmeans_oracle_sql(final=final)
 
 
 def _q_group_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4435,6 +4479,7 @@ def oracle_sql() -> dict[str, str]:
             FROM ranked WHERE rank <= 5
         """,
         "q_kmeans": _kmeans_oracle_sql(),
+        "q_semdedup": _semdedup_oracle_sql(),
         "q_temporal_reach": """
             WITH RECURSIVE tedges AS MATERIALIZED (
                 SELECT DISTINCT CAST(o_custkey % 151 AS BIGINT) AS src,

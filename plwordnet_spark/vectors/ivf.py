@@ -43,7 +43,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["kmeans_centroids", "ivf_assign", "ivf_topk", "IvfIndex"]
+__all__ = ["kmeans_centroids", "ivf_assign", "ivf_topk", "IvfIndex", "semdedup_pairs"]
 
 
 def _dot(a, b):
@@ -206,4 +206,61 @@ def ivf_topk(
     w = Window.partitionBy(query_id).orderBy(F.desc("sim"), F.asc(index.id_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= F.lit(k)
+    )
+
+
+def semdedup_pairs(
+    corpus: DataFrame,
+    n_centroids: int = 8,
+    max_iters: int = 3,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al., 2023): semantic near-duplicate PAIRS by
+    clustering embeddings and comparing pairs ONLY within a cluster.
+    Returns ``(id_a, id_b, sim)`` with id_a < id_b and cosine ≥
+    ``threshold``; feed the pairs to
+    :func:`plwordnet_spark.graph.components.connected_components` and
+    keep min-id per component to materialize the dedup decision, the
+    same two-step shape as MinHash dedup (textops/dedup.py).
+
+    Where MinHash catches LEXICAL near-duplicates (shared shingles),
+    this catches SEMANTIC ones — translations, paraphrases, templated
+    rewrites — which is why modern corpus pipelines run both. The
+    cluster gate turns the O(n²) all-pairs cosine into Σ|cluster|²:
+    with balanced k-means that is n²/k, and k scales with the corpus
+    (SemDeDup used 50k clusters for LAION). The within-cluster
+    self-join below inherits the mega-cluster landmine named by
+    cooccurrence_lift — Σ\\|cluster\\|² IS the cost contract; raise
+    ``n_centroids`` (or pre-split giant clusters) to bound it.
+
+    Determinism: clustering is the oracle-pinned
+    :func:`kmeans_centroids` (q_kmeans), pairs are exact cosine —
+    the whole operator replays in SQL.
+    """
+    cents = kmeans_centroids(
+        corpus, n_centroids, max_iters=max_iters, id_col=id_col, vec_col=vec_col
+    )
+    assigned = ivf_assign(corpus, cents, id_col=id_col, vec_col=vec_col)
+    normed = assigned.select(
+        "bucket",
+        F.col(id_col).alias("_id"),
+        _l2_normalize(F.col(vec_col)).alias("_v"),
+    )
+    a = normed.select(
+        "bucket", F.col("_id").alias("id_a"), F.col("_v").alias("_va")
+    )
+    b = normed.select(
+        "bucket", F.col("_id").alias("id_b"), F.col("_v").alias("_vb")
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            _dot(F.col("_va"), F.col("_vb")).alias("sim"),
+        )
+        .filter(F.col("sim") >= F.lit(float(threshold)))
     )

@@ -143,3 +143,61 @@ class TestSearch:
             index.corpus.groupBy("bucket").count().orderBy(F.desc("count")).first()
         )
         assert probed_bucket_rows["count"] < n_corpus
+
+
+class TestSemDedup:
+    def test_planted_near_duplicates_pair_up(self, spark):
+        from plwordnet_spark.vectors.ivf import semdedup_pairs
+
+        rng = np.random.default_rng(3)
+        base = rng.normal(size=(40, 16))
+        rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+        # plant near-dups: 100+i is 0..4 plus tiny noise (same cluster,
+        # cosine ~ 1)
+        for i in range(5):
+            dup = base[i] + 0.01 * rng.normal(size=16)
+            rows.append((100 + i, [float(x) for x in dup]))
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in semdedup_pairs(
+                df, n_centroids=4, max_iters=3, threshold=0.98
+            ).collect()
+        }
+        assert {(i, 100 + i) for i in range(5)} <= got
+        # random 16-d gaussians never hit 0.98
+        assert got == {(i, 100 + i) for i in range(5)}
+
+    def test_matches_bruteforce_within_clusters(self, spark, corpus):
+        from plwordnet_spark.vectors.ivf import (
+            ivf_assign,
+            kmeans_centroids,
+            semdedup_pairs,
+        )
+
+        t = 0.9
+        cents = kmeans_centroids(corpus, n_centroids=6, max_iters=2)
+        assign = {
+            r["vec_id"]: r["bucket"]
+            for r in ivf_assign(corpus, cents).collect()
+        }
+        vecs = {
+            r["vec_id"]: np.array(r["embedding"]) for r in corpus.collect()
+        }
+        for k in vecs:
+            vecs[k] = vecs[k] / np.linalg.norm(vecs[k])
+        ids = sorted(vecs)
+        want = {
+            (a, b)
+            for i, a in enumerate(ids)
+            for b in ids[i + 1 :]
+            if assign[a] == assign[b] and float(vecs[a] @ vecs[b]) >= t
+        }
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in semdedup_pairs(
+                corpus, n_centroids=6, max_iters=2, threshold=t
+            ).collect()
+        }
+        assert got == want
+        assert want  # clustered corpus: some true semantic dups exist
