@@ -14,6 +14,7 @@ Reference: ``plwordnet-cli`` / ``plwordnet-milvus`` subcommands
 | milvus similarity search                 | similar (exact top-k)        |
 | embedder-dataset-dedupliactor            | dedup                        |
 | (implicit: corpus statistics)            | profile (sketch one-pass)    |
+| relgat triplet export (graph→trainset)   | walk-corpus (walks/skip-gram)|
 
 Launch locally (``python -m plwordnet_spark.cli ...``) or on a cluster:
 
@@ -303,6 +304,38 @@ def cmd_corpus_clean(args) -> int:
     return 0
 
 
+def cmd_walk_corpus(args) -> int:
+    """Graph-embedding corpus generation: deterministic (node2vec-
+    biased when p/q != 1) random walks over an edge table, optionally
+    folded to skip-gram (center, context, n) training pairs — the
+    DeepWalk/node2vec data pipeline as one job (graph/walks.py)."""
+    spark = get_spark("cli-walk-corpus", master=args.master)
+    from plwordnet_spark.graph.walks import (
+        node2vec_walks,
+        random_walks,
+        skipgram_pairs,
+    )
+
+    edges = spark.read.parquet(args.edges)
+    if args.p == 1.0 and args.q == 1.0:
+        walks = random_walks(
+            spark, edges, walk_length=args.length,
+            walks_per_node=args.walks, seed=args.seed,
+        )
+    else:
+        walks = node2vec_walks(
+            spark, edges, walk_length=args.length, p=args.p, q=args.q,
+            walks_per_node=args.walks, seed=args.seed,
+        )
+    out = skipgram_pairs(walks, window=args.window) if args.pairs else walks
+    report = {"rows": out.count(), "mode": "pairs" if args.pairs else "walks"}
+    if args.output:
+        out.write.mode("overwrite").parquet(args.output)
+    print(json.dumps(report))
+    spark.stop()
+    return 0
+
+
 def cmd_spam_mass(args) -> int:
     """TrustRank spam mass over a built graph: PR vs seeded-trust rank
     per page (graph/trustrank.py); seeds = the trusted whitelist."""
@@ -496,6 +529,18 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--default-rate", type=float, default=1.0)
     p.add_argument("--seed", type=int, default=0)
     p.set_defaults(fn=cmd_corpus_clean)
+
+    p = sub.add_parser("walk-corpus"); _add_common(p)
+    p.add_argument("--edges", required=True, help="parquet edge table (src, dst[, weight])")
+    p.add_argument("--length", type=int, default=10)
+    p.add_argument("--walks", type=int, default=2)
+    p.add_argument("--p", type=float, default=1.0, help="node2vec return bias")
+    p.add_argument("--q", type=float, default=1.0, help="node2vec in-out bias")
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--pairs", action="store_true",
+                   help="emit skip-gram (center, context, n) pairs instead of walks")
+    p.add_argument("--window", type=int, default=2)
+    p.set_defaults(fn=cmd_walk_corpus)
 
     p = sub.add_parser("dedup"); _add_common(p)
     p.add_argument("--documents", required=True)

@@ -101,3 +101,30 @@ def test_cli_corpus_clean_pipeline(spark, tmp_path, capsys):
     # boilerplate line stripped from every surviving even doc
     assert all("accept cookies" not in t for t in texts.values())
     assert all(t for t in texts.values())
+
+
+def test_cli_walk_corpus_pairs(spark, tmp_path):
+    """walk-corpus end-to-end: edges parquet in, skip-gram pairs out,
+    deterministic across runs."""
+    import json
+
+    from plwordnet_spark.cli import main
+
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 12) for i in range(12)] + [(i, (i + 5) % 12) for i in range(12)],
+        "src long, dst long",
+    )
+    epath = str(tmp_path / "edges")
+    edges.write.parquet(epath)
+    out1 = str(tmp_path / "pairs1")
+    out2 = str(tmp_path / "pairs2")
+    for out in (out1, out2):
+        rc = main([
+            "walk-corpus", "--edges", epath, "--length", "6",
+            "--walks", "2", "--p", "2.0", "--q", "0.5",
+            "--pairs", "--window", "2", "--output", out,
+        ])
+        assert rc == 0
+    a = sorted(map(tuple, spark.read.parquet(out1).collect()))
+    b = sorted(map(tuple, spark.read.parquet(out2).collect()))
+    assert a == b and len(a) > 0

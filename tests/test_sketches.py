@@ -77,3 +77,49 @@ class TestCountMin:
         keys = spark.createDataFrame([(999,)], "k long")
         got = cms_estimate(grid, keys, "k", width=4096, depth=4).first()
         assert got["est"] == 0
+
+
+class TestStreamingCms:
+    def test_foreachbatch_merge_equals_batch(self, spark, sf_dir, tmp_path):
+        """The mergeability contract in its streaming form: per-micro-
+        batch CMS grids, summed across batches via foreachBatch, equal
+        the one-shot batch grid over the same events."""
+        from pyspark.sql import functions as F
+
+        batch = spark.read.parquet(f"{sf_dir}/events.parquet").select("user_id")
+        want = sorted(
+            map(tuple, cms_build(batch, "user_id", width=32, depth=3).collect())
+        )
+
+        # stage as 4 files so the stream runs multiple micro-batches
+        src_dir = tmp_path / "ev_in"
+        (
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+            .select("user_id")
+            .repartition(4)
+            .write.parquet(str(src_dir))
+        )
+        stream = (
+            spark.readStream.schema("user_id long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src_dir))
+        )
+        acc: dict[tuple[int, int], int] = {}
+        n_batches = []
+
+        def merge(bdf, bid):
+            n_batches.append(bid)
+            for r in cms_build(bdf, "user_id", width=32, depth=3).collect():
+                k = (r["row"], r["slot"])
+                acc[k] = acc.get(k, 0) + r["c"]
+
+        q = (
+            stream.writeStream.foreachBatch(merge)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        assert len(n_batches) > 1  # genuinely incremental
+        got = sorted((row, slot, c) for (row, slot), c in acc.items())
+        assert got == want
