@@ -459,6 +459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_range_join": lambda s, d: _q_range_join(s, d),
         "q_random_walks": lambda s, d: _q_random_walks(s, d),
         "q_node2vec_walks": lambda s, d: _q_node2vec_walks(s, d),
+        "q_louvain": lambda s, d: _q_louvain(s, d),
         "q_skipgram": lambda s, d: _q_skipgram(s, d),
         "q_ppr_batch": lambda s, d: _q_ppr_batch(s, d),
         # --- round-5 widening: behavior sequences, distribution stats, OLAP ---
@@ -711,6 +712,90 @@ def _node2vec_oracle_sql() -> str:
         )
         SELECT start, walk, step, node FROM walk
     """
+
+
+_LOUVAIN_ROUNDS = 5
+
+
+def _q_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous Louvain phase-1 (graph/louvain.py): 5 parity-
+    alternating modularity-gain move rounds on the weighted mod-211
+    graph. Integer multiplicity weights keep every aggregate exact, so
+    the oracle replays the rounds bit-for-bit — the round-replay
+    pattern (q_mis/q_matching/q_msf) applied to community detection."""
+    from plwordnet_spark.graph.louvain import louvain_move_phase
+
+    edges = _derived_weighted_edges(spark, sf_dir)
+    return louvain_move_phase(
+        spark, edges, rounds=_LOUVAIN_ROUNDS, weight_col="weight"
+    )
+
+
+def _louvain_oracle_sql(rounds: int = _LOUVAIN_ROUNDS) -> str:
+    """Unrolled synchronous-Louvain replay: per round, community totals
+    + per-(node, neighbor-community) weights + the isolated-move gain
+    argmax (score DESC, c ASC), adopted by the round's id-parity half."""
+    parts = [
+        f"""WITH und AS MATERIALIZED (
+            SELECT a, b, CAST(SUM(w) AS DOUBLE) AS w FROM (
+                SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b, w
+                FROM ({_WEIGHTED_EDGE_SQL_DERIVATION})
+            ) GROUP BY a, b
+        ),
+        adj AS MATERIALIZED (
+            SELECT a AS i, b AS j, w FROM und
+            UNION ALL
+            SELECT b AS i, a AS j, w FROM und
+        ),
+        deg AS MATERIALIZED (SELECT i AS id, SUM(w) AS k FROM adj GROUP BY i),
+        m2 AS (SELECT SUM(k) AS v FROM deg),
+        l0 AS MATERIALIZED (SELECT id, id AS label FROM deg)"""
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(
+            f""",
+        tot{r} AS MATERIALIZED (
+            SELECT l.label AS c, SUM(d.k) AS t
+            FROM l{p} l JOIN deg d USING (id) GROUP BY l.label
+        ),
+        nbr{r} AS MATERIALIZED (
+            SELECT a.i AS id, lj.label AS c, SUM(a.w) AS kic
+            FROM adj a JOIN l{p} lj ON lj.id = a.j GROUP BY a.i, lj.label
+        ),
+        cand{r} AS MATERIALIZED (
+            SELECT id, c, SUM(kic) AS kic FROM (
+                SELECT id, c, kic FROM nbr{r}
+                UNION ALL
+                SELECT id, label AS c, 0.0 FROM l{p}
+            ) GROUP BY id, c
+        ),
+        sc{r} AS MATERIALIZED (
+            SELECT cd.id, cd.c,
+                   cd.kic - d.k * (t.t - CASE WHEN cd.c = l.label
+                                              THEN d.k ELSE 0.0 END)
+                          / (SELECT v FROM m2) AS score
+            FROM cand{r} cd
+            JOIN l{p} l ON l.id = cd.id
+            JOIN deg d ON d.id = cd.id
+            JOIN tot{r} t ON t.c = cd.c
+        ),
+        pk{r} AS MATERIALIZED (
+            SELECT id, c FROM (
+                SELECT id, c, row_number() OVER (
+                    PARTITION BY id ORDER BY score DESC, c) AS rn
+                FROM sc{r}
+            ) WHERE rn = 1
+        ),
+        l{r} AS MATERIALIZED (
+            SELECT l.id,
+                   CASE WHEN l.id % 2 = {(r - 1) % 2} THEN p.c
+                        ELSE l.label END AS label
+            FROM l{p} l JOIN pk{r} p ON p.id = l.id
+        )"""
+        )
+    parts.append(f"\n        SELECT id, label FROM l{rounds}")
+    return "".join(parts)
 
 
 def _q_skipgram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5047,6 +5132,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT start, walk, step, node FROM walk
         """,
         "q_node2vec_walks": _node2vec_oracle_sql(),
+        "q_louvain": _louvain_oracle_sql(),
         "q_skipgram": f"""
             {_WALKS_RECURSIVE_SQL},
             sel AS (

@@ -1,0 +1,155 @@
+"""Louvain phase-1 community detection — synchronous, deterministic.
+
+Louvain (Blondel et al., J. Stat. Mech. 2008) greedily moves each node
+into the neighboring community with the best modularity gain. The
+sequential sweep is inherently serial, so the distributed literature
+(e.g. Que et al., IPDPS 2015 "scalable community detection") runs the
+move step SYNCHRONOUSLY: every node evaluates its best community
+against the previous round's labels, and only a deterministic HALF of
+the nodes (by id parity, alternating per round) adopts moves — adjacent
+simultaneous swaps, the classic synchronous-Louvain oscillation, cannot
+happen between opposite-parity neighbors, and same-parity oscillation
+is bounded by the fixed round count.
+
+Everything is deterministic and engine-replayable: integer edge weights
+keep every aggregate exact in doubles (sums of ints < 2^53), the gain
+is the textbook isolated-move form
+
+    score(i → C) = k_{i,C} − k_i · (Σtot(C) − k_i·[C = C_i]) / 2m
+
+(argmax over neighbor communities plus i's own; ties break to the
+smaller label, staying wins by the own-community term), so the driver
+oracle unrolls the same rounds in SQL — the MIS/matching/Borůvka
+round-replay pattern applied to community detection. This is PHASE 1
+(label assignment at fixed granularity); full Louvain alternates it
+with graph contraction, which is :func:`plwordnet_spark.graph.msf`-style
+relabel-and-collapse plumbing — compose with
+``stats.modularity`` to decide when contraction has stopped paying.
+
+Scale shape per round: one adjacency⋈labels join + a (node, community)
+partial-agg sum (the hub's in-weights fold map-side), one
+community-sized totals agg, one window argmax per node — the same
+traffic class as a PageRank iteration with one extra histogram-sized
+agg. State is one (id, label) row per node.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from plwordnet_spark.graph.pregel import loop_tuning
+
+__all__ = ["louvain_move_phase"]
+
+
+def louvain_move_phase(
+    spark: SparkSession,
+    edges: DataFrame,
+    rounds: int = 6,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """edges(src, dst[, weight]) → (id, label) after ``rounds``
+    synchronous modularity-gain move rounds (parity-alternating
+    adoption). Parallel edges collapse by summed weight; self-loops are
+    dropped; the graph is treated as undirected. Integer weights keep
+    the replay exact — fractional weights work but cross-engine replay
+    then rides on rounding."""
+    w = F.col(weight_col) if weight_col else F.lit(1.0)
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+            w.cast("double").alias("w"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.sum("w").alias("w"))
+    )
+    adj = (
+        und.select(F.col("a").alias("i"), F.col("b").alias("j"), "w")
+        .unionByName(und.select(F.col("b").alias("i"), F.col("a").alias("j"), "w"))
+        .repartition("i")
+        .cache()
+    )
+    n_adj = adj.count()
+    deg = adj.groupBy(F.col("i").alias("id")).agg(F.sum("w").alias("k")).cache()
+    m2 = float(deg.agg(F.sum("k")).first()[0] or 0.0)
+    if m2 == 0.0:
+        adj.unpersist()
+        deg.unpersist()
+        return spark.createDataFrame([], "id long, label long")
+
+    labels = deg.select("id", F.col("id").alias("label")).localCheckpoint(
+        eager=True
+    )
+    with loop_tuning(spark, n_adj):
+        for r in range(1, rounds + 1):
+            tot = (
+                labels.join(deg, "id")
+                .groupBy(F.col("label").alias("c"))
+                .agg(F.sum("k").alias("t"))
+            )
+            nbr = (
+                adj.join(
+                    labels.select(
+                        F.col("id").alias("j"), F.col("label").alias("c")
+                    ),
+                    "j",
+                )
+                .groupBy(F.col("i").alias("id"), "c")
+                .agg(F.sum("w").alias("kic"))
+            )
+            own = labels.select(
+                "id", F.col("label").alias("c"), F.lit(0.0).alias("kic")
+            )
+            cand = (
+                nbr.unionByName(own)
+                .groupBy("id", "c")
+                .agg(F.sum("kic").alias("kic"))
+                .join(labels, "id")
+                .join(deg, "id")
+                .join(tot, "c")
+                .select(
+                    "id",
+                    "c",
+                    "label",
+                    (
+                        F.col("kic")
+                        - F.col("k")
+                        * (
+                            F.col("t")
+                            - F.when(
+                                F.col("c") == F.col("label"), F.col("k")
+                            ).otherwise(F.lit(0.0))
+                        )
+                        / F.lit(m2)
+                    ).alias("score"),
+                )
+            )
+            pick = (
+                cand.withColumn(
+                    "_rn",
+                    F.row_number().over(
+                        Window.partitionBy("id").orderBy(
+                            F.desc("score"), F.asc("c")
+                        )
+                    ),
+                )
+                .filter(F.col("_rn") == 1)
+                .select("id", F.col("c").alias("best"))
+            )
+            active = F.pmod(F.col("id"), F.lit(2)) == F.lit((r - 1) % 2)
+            labels = (
+                labels.join(pick, "id")
+                .select(
+                    "id",
+                    F.when(active, F.col("best"))
+                    .otherwise(F.col("label"))
+                    .alias("label"),
+                )
+                .localCheckpoint(eager=True)
+            )
+    adj.unpersist()
+    deg.unpersist()
+    return labels

@@ -1,0 +1,97 @@
+"""Synchronous Louvain phase-1: pure-Python round replay, two-clique
+separation, and modularity improvement over the initial partition."""
+
+from __future__ import annotations
+
+import random
+from collections import defaultdict
+
+from plwordnet_spark.graph.louvain import louvain_move_phase
+
+
+def _py_louvain(edge_list, rounds):
+    und = defaultdict(float)
+    for u, v in edge_list:
+        if u != v:
+            a, b = min(u, v), max(u, v)
+            und[(a, b)] += 1.0
+    adj = defaultdict(dict)
+    for (a, b), w in und.items():
+        adj[a][b] = adj[a].get(b, 0.0) + w
+        adj[b][a] = adj[b].get(a, 0.0) + w
+    deg = {i: sum(adj[i].values()) for i in adj}
+    m2 = sum(deg.values())
+    lab = {i: i for i in adj}
+    for r in range(1, rounds + 1):
+        tot = defaultdict(float)
+        for i in adj:
+            tot[lab[i]] += deg[i]
+        new = dict(lab)
+        for i in adj:
+            if i % 2 != (r - 1) % 2:
+                continue
+            kic = defaultdict(float)
+            for j, w in adj[i].items():
+                kic[lab[j]] += w
+            kic[lab[i]] += 0.0
+            best, best_score = None, None
+            for c in sorted(kic):
+                t = tot[c] - (deg[i] if c == lab[i] else 0.0)
+                score = kic[c] - deg[i] * t / m2
+                if best_score is None or score > best_score:
+                    best, best_score = c, score
+            new[i] = best
+        lab = new
+    return lab
+
+
+class TestLouvain:
+    def test_matches_python_replay(self, spark):
+        rng = random.Random(77)
+        edges = [(rng.randrange(24), rng.randrange(24)) for _ in range(90)]
+        edges = [(u, v) for u, v in edges if u != v]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            r["id"]: r["label"]
+            for r in louvain_move_phase(spark, df, rounds=5).collect()
+        }
+        assert got == _py_louvain(edges, 5)
+
+    def test_two_cliques_separate(self, spark):
+        ca = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+        cb = [(i, j) for i in range(10, 15) for j in range(i + 1, 15)]
+        bridge = [(0, 10)]
+        df = spark.createDataFrame(ca + cb + bridge, "src long, dst long")
+        got = {
+            r["id"]: r["label"]
+            for r in louvain_move_phase(spark, df, rounds=6).collect()
+        }
+        assert len({got[i] for i in range(5)}) == 1
+        assert len({got[i] for i in range(10, 15)}) == 1
+        assert got[0] != got[10]
+
+    def test_modularity_improves_over_singletons(self, spark):
+        from plwordnet_spark.graph.stats import modularity
+
+        rng = random.Random(5)
+        # planted partition: 3 dense groups of 8, sparse between
+        edges = []
+        for g in range(3):
+            ids = list(range(g * 8, g * 8 + 8))
+            for i in ids:
+                for j in ids:
+                    if i < j and rng.random() < 0.7:
+                        edges.append((i, j))
+        for _ in range(10):
+            edges.append((rng.randrange(24), rng.randrange(24)))
+        edges = [(u, v) for u, v in edges if u != v]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        from pyspark.sql import functions as F
+
+        labels = louvain_move_phase(spark, df, rounds=6)
+        comm = labels.select("id", F.col("label").alias("community"))
+        q_final = modularity(df, comm).first()["modularity"]
+        singles = labels.select("id", F.col("id").alias("community"))
+        q0 = modularity(df, singles).first()["modularity"]
+        assert q_final > q0
+        assert q_final > 0.3  # planted structure recovered
