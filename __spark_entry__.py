@@ -460,6 +460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_random_walks": lambda s, d: _q_random_walks(s, d),
         "q_node2vec_walks": lambda s, d: _q_node2vec_walks(s, d),
         "q_louvain": lambda s, d: _q_louvain(s, d),
+        "q_contract_graph": lambda s, d: _q_contract_graph(s, d),
         "q_skipgram": lambda s, d: _q_skipgram(s, d),
         "q_ppr_batch": lambda s, d: _q_ppr_batch(s, d),
         # --- round-5 widening: behavior sequences, distribution stats, OLAP ---
@@ -731,10 +732,15 @@ def _q_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _louvain_oracle_sql(rounds: int = _LOUVAIN_ROUNDS) -> str:
+def _louvain_oracle_sql(
+    rounds: int = _LOUVAIN_ROUNDS, final: str | None = None
+) -> str:
     """Unrolled synchronous-Louvain replay: per round, community totals
     + per-(node, neighbor-community) weights + the isolated-move gain
-    argmax (score DESC, c ASC), adopted by the round's id-parity half."""
+    argmax (score DESC, c ASC), adopted by the round's id-parity half.
+    ``final`` overrides the closing SELECT (the chain ends at l{rounds},
+    with ``und`` the collapsed undirected edges) — q_contract_graph
+    reuses it for the phase-2 supergraph."""
     parts = [
         f"""WITH und AS MATERIALIZED (
             SELECT a, b, CAST(SUM(w) AS DOUBLE) AS w FROM (
@@ -794,8 +800,26 @@ def _louvain_oracle_sql(rounds: int = _LOUVAIN_ROUNDS) -> str:
             FROM l{p} l JOIN pk{r} p ON p.id = l.id
         )"""
         )
-    parts.append(f"\n        SELECT id, label FROM l{rounds}")
+    if final is None:
+        final = f"\n        SELECT id, label FROM l{rounds}"
+    parts.append(final)
     return "".join(parts)
+
+
+def _q_contract_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Louvain phase 2 (graph/louvain.py contract_graph): collapse the
+    phase-1 communities into the weighted supergraph — intra-community
+    mass on self-loop rows, inter-community weights summed. Oracle =
+    the phase-1 replay chain + the same relabel-and-collapse SQL."""
+    from plwordnet_spark.graph.louvain import contract_graph, louvain_move_phase
+
+    edges = _derived_weighted_edges(spark, sf_dir)
+    labels = louvain_move_phase(
+        spark, edges, rounds=_LOUVAIN_ROUNDS, weight_col="weight"
+    )
+    return contract_graph(edges, labels, weight_col="weight").select(
+        "a", "b", F.col("w").cast("long").alias("w")
+    )
 
 
 def _q_skipgram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5133,6 +5157,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_node2vec_walks": _node2vec_oracle_sql(),
         "q_louvain": _louvain_oracle_sql(),
+        "q_contract_graph": _louvain_oracle_sql(
+            final=f"""
+        SELECT LEAST(la.label, lb.label) AS a,
+               GREATEST(la.label, lb.label) AS b,
+               CAST(SUM(u.w) AS BIGINT) AS w
+        FROM und u
+        JOIN l{_LOUVAIN_ROUNDS} la ON la.id = u.a
+        JOIN l{_LOUVAIN_ROUNDS} lb ON lb.id = u.b
+        GROUP BY 1, 2"""
+        ),
         "q_skipgram": f"""
             {_WALKS_RECURSIVE_SQL},
             sel AS (

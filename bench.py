@@ -104,6 +104,7 @@ def main() -> None:
     from plwordnet_spark.graph.bfs import bfs_distances
     from plwordnet_spark.graph.hits import hits
     from plwordnet_spark.graph.kcore import k_core
+    from plwordnet_spark.graph.louvain import louvain_move_phase
     from plwordnet_spark.graph.triangles import triangle_count
     from plwordnet_spark.textops.dedup import minhash_lsh_dedup
 
@@ -152,6 +153,12 @@ def main() -> None:
             ("kcore", lambda: k_core(spark, tables.edges, k=3).state.count()),
             ("triangles", lambda: triangle_count(tables.edges)),
             ("minhash_dedup", _dedup),
+            (
+                "louvain",
+                lambda: louvain_move_phase(
+                    spark, tables.edges, rounds=5
+                ).count(),
+            ),
         ],
         REPS,
     )

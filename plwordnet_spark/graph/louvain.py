@@ -40,7 +40,7 @@ from pyspark.sql import functions as F
 
 from plwordnet_spark.graph.pregel import loop_tuning
 
-__all__ = ["louvain_move_phase"]
+__all__ = ["louvain_move_phase", "contract_graph"]
 
 
 def louvain_move_phase(
@@ -153,3 +153,46 @@ def louvain_move_phase(
     adj.unpersist()
     deg.unpersist()
     return labels
+
+
+def contract_graph(
+    edges: DataFrame,
+    labels: DataFrame,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Louvain phase 2: collapse each community to one supernode.
+    Returns the undirected weighted supergraph ``(a, b, w)`` with
+    a <= b; intra-community weight lands on the self-loop row (a = b) —
+    full Louvain alternates :func:`louvain_move_phase` with this until
+    ``stats.modularity`` stops improving, and the same contraction
+    serves any relabel-and-collapse workflow (the Borůvka component
+    graph in graph/msf.py is this exact shape).
+
+    ``labels``: (id, label). Shape: two hash joins of the edge list
+    against the (id, label) map + one (a, b) partial-agg sum — per-
+    community skew folds map-side exactly like the modularity agg.
+    """
+    w = F.col(weight_col) if weight_col else F.lit(1.0)
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+            w.cast("double").alias("w"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.sum("w").alias("w"))
+    )
+    la = labels.select(F.col("id").alias("a"), F.col("label").alias("ca"))
+    lb = labels.select(F.col("id").alias("b"), F.col("label").alias("cb"))
+    return (
+        und.join(la, "a")
+        .join(lb, "b")
+        .select(
+            F.least("ca", "cb").alias("a"),
+            F.greatest("ca", "cb").alias("b"),
+            "w",
+        )
+        .groupBy("a", "b")
+        .agg(F.sum("w").alias("w"))
+    )

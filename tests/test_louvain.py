@@ -95,3 +95,52 @@ class TestLouvain:
         q0 = modularity(df, singles).first()["modularity"]
         assert q_final > q0
         assert q_final > 0.3  # planted structure recovered
+
+
+class TestContraction:
+    def test_contract_preserves_weight_and_modularity_level2(self, spark):
+        import random
+
+        from pyspark.sql import functions as F
+
+        from plwordnet_spark.graph.louvain import contract_graph
+
+        rng = random.Random(9)
+        edges = []
+        for g in range(4):
+            ids = list(range(g * 6, g * 6 + 6))
+            for i in ids:
+                for j in ids:
+                    if i < j and rng.random() < 0.8:
+                        edges.append((i, j))
+        edges += [(0, 6), (6, 12), (12, 18), (18, 0)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        labels = louvain_move_phase(spark, df, rounds=6)
+        sg = contract_graph(df, labels).cache()
+        # total weight preserved (self-loops carry intra-community mass)
+        assert sg.agg(F.sum("w")).first()[0] == len(set(
+            (min(u, v), max(u, v)) for u, v in edges
+        ))
+        # supergraph nodes == distinct labels
+        n_labels = labels.select("label").distinct().count()
+        n_super = sg.select(F.col("a").alias("x")).unionByName(
+            sg.select(F.col("b").alias("x"))).distinct().count()
+        assert n_super == n_labels
+        # self-loop rows exist for the dense groups
+        assert sg.filter("a = b").count() >= 4
+        sg.unpersist()
+
+    def test_contract_two_triangles(self, spark):
+        from plwordnet_spark.graph.louvain import contract_graph
+
+        edges = [(0, 1), (1, 2), (0, 2), (10, 11), (11, 12), (10, 12), (2, 10)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        labels = spark.createDataFrame(
+            [(i, 0) for i in (0, 1, 2)] + [(i, 10) for i in (10, 11, 12)],
+            "id long, label long",
+        )
+        got = {
+            (r["a"], r["b"]): r["w"]
+            for r in contract_graph(df, labels).collect()
+        }
+        assert got == {(0, 0): 3.0, (10, 10): 3.0, (0, 10): 1.0}
