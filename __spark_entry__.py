@@ -461,6 +461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_node2vec_walks": lambda s, d: _q_node2vec_walks(s, d),
         "q_louvain": lambda s, d: _q_louvain(s, d),
         "q_contract_graph": lambda s, d: _q_contract_graph(s, d),
+        "q_seed_spread": lambda s, d: _q_seed_spread(s, d),
         "q_skipgram": lambda s, d: _q_skipgram(s, d),
         "q_ppr_batch": lambda s, d: _q_ppr_batch(s, d),
         # --- round-5 widening: behavior sequences, distribution stats, OLAP ---
@@ -803,6 +804,71 @@ def _louvain_oracle_sql(
     if final is None:
         final = f"\n        SELECT id, label FROM l{rounds}"
     parts.append(final)
+    return "".join(parts)
+
+
+_SEED_SPREAD = ((0, 10), (50, 20), (100, 30))
+_SEED_SPREAD_ROUNDS = 4
+
+
+def _q_seed_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded watershed labeling (graph/seedprop.py seed_label_spread):
+    3 clamped seed labels flood the weighted mod-211 graph for 4
+    rounds, weighted-majority at first touch, frozen after — the
+    multiclass TrustRank. Integer weights keep votes exact, so the
+    oracle replays the rounds verbatim."""
+    from plwordnet_spark.graph.seedprop import seed_label_spread
+
+    edges = _derived_weighted_edges(spark, sf_dir)
+    seeds = spark.createDataFrame(list(_SEED_SPREAD), "id long, label long")
+    return seed_label_spread(
+        spark, edges, seeds, rounds=_SEED_SPREAD_ROUNDS, weight_col="weight"
+    )
+
+
+def _seed_spread_oracle_sql(rounds: int = _SEED_SPREAD_ROUNDS) -> str:
+    vals = ", ".join(f"({i}, {l})" for i, l in _SEED_SPREAD)
+    parts = [
+        f"""WITH dedges AS MATERIALIZED (
+            {_WEIGHTED_EDGE_SQL_DERIVATION}
+        ),
+        adj AS MATERIALIZED (
+            SELECT j, i, SUM(w) AS w FROM (
+                SELECT src AS j, dst AS i, w FROM dedges
+                UNION ALL
+                SELECT dst AS j, src AS i, w FROM dedges
+            ) GROUP BY j, i
+        ),
+        nodes AS (SELECT DISTINCT i AS id FROM adj),
+        l0 AS MATERIALIZED (
+            SELECT s.id, s.label
+            FROM (SELECT * FROM (VALUES {vals}) AS t(id, label)) s
+            JOIN nodes USING (id)
+        )"""
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(
+            f""",
+        v{r} AS MATERIALIZED (
+            SELECT a.i AS id, l.label AS l, SUM(a.w) AS v
+            FROM adj a JOIN l{p} l ON l.id = a.j GROUP BY a.i, l.label
+        ),
+        p{r} AS MATERIALIZED (
+            SELECT id, l AS label FROM (
+                SELECT id, l, row_number() OVER (
+                    PARTITION BY id ORDER BY v DESC, l) AS rn
+                FROM v{r}
+            ) WHERE rn = 1
+        ),
+        l{r} AS MATERIALIZED (
+            SELECT id, label FROM l{p}
+            UNION ALL
+            SELECT p.id, p.label FROM p{r} p
+            WHERE p.id NOT IN (SELECT id FROM l{p})
+        )"""
+        )
+    parts.append(f"\n        SELECT id, label FROM l{rounds}")
     return "".join(parts)
 
 
@@ -5157,6 +5223,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_node2vec_walks": _node2vec_oracle_sql(),
         "q_louvain": _louvain_oracle_sql(),
+        "q_seed_spread": _seed_spread_oracle_sql(),
         "q_contract_graph": _louvain_oracle_sql(
             final=f"""
         SELECT LEAST(la.label, lb.label) AS a,
