@@ -462,6 +462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_louvain": lambda s, d: _q_louvain(s, d),
         "q_contract_graph": lambda s, d: _q_contract_graph(s, d),
         "q_seed_spread": lambda s, d: _q_seed_spread(s, d),
+        "q_bfs_tree": lambda s, d: _q_bfs_tree(s, d),
         "q_skipgram": lambda s, d: _q_skipgram(s, d),
         "q_ppr_batch": lambda s, d: _q_ppr_batch(s, d),
         # --- round-5 widening: behavior sequences, distribution stats, OLAP ---
@@ -2002,6 +2003,18 @@ def _q_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _derived_edges(spark, sf_dir)
     res = bfs_distances(spark, edges, sources=[0], directed=False)
     return res.state.select("id", "dist")
+
+
+def _q_bfs_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shortest-path tree from seed 0 (graph/bfs.py bfs_tree): dist +
+    deterministic min-id predecessor, the crawl-provenance 'how did we
+    reach this page' table; parent is a pure function of the distance
+    labels so the oracle adds one min-predecessor select to the BFS
+    recursive CTE."""
+    from plwordnet_spark.graph.bfs import bfs_tree
+
+    edges = _derived_edges(spark, sf_dir)
+    return bfs_tree(spark, edges, sources=[0], directed=False).state
 
 
 def _q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5355,6 +5368,33 @@ def oracle_sql() -> dict[str, str]:
             HAVING COUNT(*) >= 2
         """,
         "q_bfs_distances": _bfs_oracle_sql(),
+        "q_bfs_tree": f"""
+            WITH RECURSIVE edges AS ({_EDGE_SQL_DERIVATION}),
+            und AS MATERIALIZED (
+                SELECT DISTINCT u, v FROM (
+                    SELECT src AS u, dst AS v FROM edges
+                    UNION ALL SELECT dst AS u, src AS v FROM edges
+                ) WHERE u <> v
+            ),
+            ids AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+            reach(id, d) AS (
+                SELECT id, CAST(0 AS BIGINT) AS d FROM ids WHERE id = 0
+                UNION
+                SELECT und.v, reach.d + 1 FROM reach
+                JOIN und ON reach.id = und.u
+                WHERE reach.d < 250
+            ),
+            dist AS MATERIALIZED (
+                SELECT i.id, MIN(r.d) AS dist
+                FROM ids i LEFT JOIN reach r ON i.id = r.id
+                GROUP BY i.id
+            )
+            SELECT d.id, d.dist,
+                   (SELECT MIN(und.u) FROM und
+                    JOIN dist du ON du.id = und.u
+                    WHERE und.v = d.id AND du.dist = d.dist - 1) AS parent
+            FROM dist d
+        """,
         "q_harmonic_centrality": _harmonic_oracle_sql(),
         "q_host_graph": f"""
             WITH edges AS ({_EDGE_SQL_DERIVATION}),

@@ -30,6 +30,7 @@ from plwordnet_spark.storage.snapshots import SnapshotStore
 
 __all__ = [
     "bfs_distances",
+    "bfs_tree",
     "sssp_distances",
     "delta_stepping_sssp",
     "landmark_distances",
@@ -530,4 +531,49 @@ def sssp_distances(
     return _min_plus_loop(
         spark, rel, ids, init, n_rel, max_iterations,
         checkpoint_dir, checkpoint_interval,
+    )
+
+
+def bfs_tree(
+    spark: SparkSession,
+    edges: DataFrame,
+    sources: list[int] | DataFrame,
+    directed: bool = False,
+    max_iterations: int = 100,
+) -> PregelResult:
+    """Shortest-path TREE: (id, dist, parent) with a deterministic
+    parent — the MINIMUM-id predecessor at dist−1 (sources and
+    unreached nodes carry NULL parent). Path reconstruction (why is
+    this page N clicks from the seed? walk parents to the root) is the
+    debugging/provenance counterpart of :func:`bfs_distances`; a
+    crawl-side "how did we get here" query.
+
+    Cost: one :func:`bfs_distances` run + ONE extra edge⋈dist join and
+    a min-gather — the parent choice is a pure function of the distance
+    labels, so it replays in SQL (min predecessor over the recursive-
+    CTE distances) and never perturbs the BFS itself. Walking a path
+    back is driver-side (path-length joins against the parent table),
+    which is the right trade at web scale: the tree is stored once,
+    paths are reconstructed per query.
+    """
+    res = bfs_distances(
+        spark, edges, sources, directed=directed, max_iterations=max_iterations
+    )
+    d = res.state.localCheckpoint(eager=True)
+    rel = _unweighted_rel(edges, directed)
+    preds = (
+        rel.join(
+            d.select(F.col("id").alias("u"), F.col("dist").alias("du")), "u"
+        )
+        .join(d.select(F.col("id").alias("v"), F.col("dist").alias("dv")), "v")
+        .filter(F.col("dv") == F.col("du") + 1)
+        .groupBy(F.col("v").alias("id"))
+        .agg(F.min("u").alias("parent"))
+    )
+    out = d.join(preds, "id", "left").select("id", "dist", "parent")
+    return PregelResult(
+        state=out,
+        iterations=res.iterations,
+        converged=res.converged,
+        metrics=res.metrics,
     )

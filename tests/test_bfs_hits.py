@@ -179,3 +179,48 @@ def test_sssp_matches_python(spark):
     # hand-checked Dijkstra: 0→2=1, 0→1=min(4, 1+2)=3, 0→3=4, 0→4=5
     assert got == {0: 0.0, 1: 3.0, 2: 1.0, 3: 4.0, 4: 5.0, 5: None, 6: None}
     assert res.converged
+
+
+class TestBfsTree:
+    def test_parents_form_valid_shortest_path_tree(self, spark):
+        import random
+
+        import networkx as nx
+
+        from plwordnet_spark.graph.bfs import bfs_tree
+
+        rng = random.Random(3)
+        edges = [(rng.randrange(25), rng.randrange(25)) for _ in range(60)]
+        edges = [(u, v) for u, v in edges if u != v]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        res = bfs_tree(spark, df, sources=[0])
+        rows = {r["id"]: (r["dist"], r["parent"]) for r in res.state.collect()}
+        g = nx.Graph(edges)
+        dists = nx.single_source_shortest_path_length(g, 0)
+        for i, (d, p) in rows.items():
+            if i not in dists:
+                assert d is None and p is None
+                continue
+            assert d == dists[i]
+            if d == 0:
+                assert p is None
+            else:
+                # parent is the SMALLEST neighbor one hop closer
+                preds = [j for j in g.neighbors(i) if dists.get(j) == d - 1]
+                assert p == min(preds)
+
+    def test_path_reconstruction(self, spark):
+        from plwordnet_spark.graph.bfs import bfs_tree
+
+        edges = [(0, 1), (1, 2), (2, 3), (0, 4), (4, 3)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        rows = {
+            r["id"]: r["parent"]
+            for r in bfs_tree(spark, df, sources=[0]).state.collect()
+        }
+        # 3 is at dist 2 via 4 (and via 2 at dist 3? no: 0-4-3 len 2,
+        # 0-1-2-3 len 3) -> parent 4; walk back: 3 -> 4 -> 0
+        path = [3]
+        while rows[path[-1]] is not None:
+            path.append(rows[path[-1]])
+        assert path == [3, 4, 0]
