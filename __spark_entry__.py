@@ -463,6 +463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_contract_graph": lambda s, d: _q_contract_graph(s, d),
         "q_seed_spread": lambda s, d: _q_seed_spread(s, d),
         "q_bfs_tree": lambda s, d: _q_bfs_tree(s, d),
+        "q_incremental_cc": lambda s, d: _q_incremental_cc(s, d),
         "q_skipgram": lambda s, d: _q_skipgram(s, d),
         "q_ppr_batch": lambda s, d: _q_ppr_batch(s, d),
         # --- round-5 widening: behavior sequences, distribution stats, OLAP ---
@@ -2003,6 +2004,25 @@ def _q_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _derived_edges(spark, sf_dir)
     res = bfs_distances(spark, edges, sources=[0], directed=False)
     return res.state.select("id", "dist")
+
+
+def _q_incremental_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental connected components (graph/components.py
+    incremental_components): label yesterday's subgraph (edges with
+    (src+dst) % 3 != 0), then fold in today's delta via the star-edge
+    trick — the contract is the SEMANTIC one: the warm result equals a
+    cold run over the whole graph, which is exactly what the oracle
+    computes. Round-count acceleration is pytest-verified."""
+    from plwordnet_spark.graph.components import (
+        connected_components,
+        incremental_components,
+    )
+
+    edges = _derived_edges(spark, sf_dir)
+    old = edges.filter((F.col("src") + F.col("dst")) % 3 != 0)
+    delta = edges.filter((F.col("src") + F.col("dst")) % 3 == 0)
+    prev = connected_components(spark, old).state
+    return incremental_components(spark, prev, delta).state
 
 
 def _q_bfs_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4773,6 +4793,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT direction, degree, CAST(count(*) AS BIGINT) AS n_nodes
             FROM tagged
             GROUP BY direction, degree
+        """,
+        "q_incremental_cc": f"""
+            WITH RECURSIVE edges AS ({_EDGE_SQL_DERIVATION}),
+            und AS (
+                SELECT src AS u, dst AS v FROM edges
+                UNION
+                SELECT dst AS u, src AS v FROM edges
+            ),
+            ids AS (SELECT DISTINCT u AS id FROM und),
+            reach(id, comp) AS (
+                SELECT id, id FROM ids
+                UNION
+                SELECT und.u, reach.comp
+                FROM reach JOIN und ON reach.id = und.v
+                WHERE reach.comp < und.u
+            )
+            SELECT id, MIN(comp) AS component FROM reach GROUP BY id
         """,
         "q_connected_components": f"""
             WITH RECURSIVE edges AS ({_EDGE_SQL_DERIVATION}),

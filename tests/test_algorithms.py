@@ -286,3 +286,67 @@ def test_pagerank_csr_equals_join_path(spark, tmp_path):
     assert set(a) == set(b)
     for node_id, rank in a.items():
         assert math.isclose(b[node_id], rank, abs_tol=1e-12), node_id
+
+
+class TestIncrementalComponents:
+    def test_equals_cold_run_on_union(self, spark):
+        import random
+
+        from plwordnet_spark.graph.components import (
+            connected_components,
+            incremental_components,
+        )
+
+        rng = random.Random(8)
+        old = [(rng.randrange(40), rng.randrange(40)) for _ in range(45)]
+        old = [(u, v) for u, v in old if u != v]
+        delta = [(rng.randrange(60), rng.randrange(60)) for _ in range(15)]
+        delta = [(u, v) for u, v in delta if u != v]
+        old_df = spark.createDataFrame(old, "src long, dst long")
+        delta_df = spark.createDataFrame(delta, "src long, dst long")
+
+        prev = connected_components(spark, old_df).state
+        warm = incremental_components(spark, prev, delta_df).state
+        cold = connected_components(
+            spark, old_df.unionByName(delta_df)
+        ).state
+        w = {r["id"]: r["component"] for r in warm.collect()}
+        c = {r["id"]: r["component"] for r in cold.collect()}
+        assert w == c
+
+    def test_delta_merges_two_old_components(self, spark):
+        from plwordnet_spark.graph.components import (
+            connected_components,
+            incremental_components,
+        )
+
+        old_df = spark.createDataFrame(
+            [(0, 1), (1, 2), (10, 11)], "src long, dst long"
+        )
+        prev = connected_components(spark, old_df).state
+        res = incremental_components(
+            spark,
+            prev,
+            spark.createDataFrame([(2, 10)], "src long, dst long"),
+        )
+        got = {r["id"]: r["component"] for r in res.state.collect()}
+        assert got == {i: 0 for i in (0, 1, 2, 10, 11)}
+
+    def test_chain_prev_labels_accelerate(self, spark):
+        # cold CC on a 64-path needs multiple star rounds; warm with the
+        # full previous labeling converges in O(1) rounds
+        from plwordnet_spark.graph.components import (
+            connected_components,
+            incremental_components,
+        )
+
+        chain = [(i, i + 1) for i in range(63)]
+        df = spark.createDataFrame(chain, "src long, dst long")
+        cold = connected_components(spark, df)
+        prev = cold.state
+        warm = incremental_components(
+            spark, prev, spark.createDataFrame([(63, 64)], "src long, dst long")
+        )
+        assert warm.iterations < cold.iterations
+        got = {r["id"]: r["component"] for r in warm.state.collect()}
+        assert set(got.values()) == {0} and got[64] == 0
