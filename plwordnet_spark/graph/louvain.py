@@ -40,7 +40,7 @@ from pyspark.sql import functions as F
 
 from plwordnet_spark.graph.pregel import loop_tuning
 
-__all__ = ["louvain_move_phase", "contract_graph"]
+__all__ = ["louvain_move_phase", "contract_graph", "louvain"]
 
 
 def louvain_move_phase(
@@ -51,21 +51,26 @@ def louvain_move_phase(
 ) -> DataFrame:
     """edges(src, dst[, weight]) → (id, label) after ``rounds``
     synchronous modularity-gain move rounds (parity-alternating
-    adoption). Parallel edges collapse by summed weight; self-loops are
-    dropped; the graph is treated as undirected. Integer weights keep
-    the replay exact — fractional weights work but cross-engine replay
-    then rides on rounding."""
+    adoption). Parallel edges collapse by summed weight; the graph is
+    treated as undirected. Self-loops (the contracted-supergraph case —
+    :func:`contract_graph` emits them) contribute 2w to their node's
+    degree per the Louvain/modularity convention, and cancel out of the
+    move argmax (a node's self-loop stays internal wherever it goes),
+    so they enter only through k_i and 2m. Integer weights keep the
+    replay exact — fractional weights work but cross-engine replay then
+    rides on rounding."""
     w = F.col(weight_col) if weight_col else F.lit(1.0)
-    und = (
+    und_all = (
         edges.select(
             F.least("src", "dst").alias("a"),
             F.greatest("src", "dst").alias("b"),
             w.cast("double").alias("w"),
         )
-        .filter(F.col("a") != F.col("b"))
         .groupBy("a", "b")
         .agg(F.sum("w").alias("w"))
+        .cache()
     )
+    und = und_all.filter(F.col("a") != F.col("b"))
     adj = (
         und.select(F.col("a").alias("i"), F.col("b").alias("j"), "w")
         .unionByName(und.select(F.col("b").alias("i"), F.col("a").alias("j"), "w"))
@@ -73,7 +78,19 @@ def louvain_move_phase(
         .cache()
     )
     n_adj = adj.count()
-    deg = adj.groupBy(F.col("i").alias("id")).agg(F.sum("w").alias("k")).cache()
+    deg = (
+        adj.select(F.col("i").alias("id"), F.col("w").alias("k2"))
+        .unionByName(
+            und_all.filter(F.col("a") == F.col("b")).select(
+                F.col("a").alias("id"), (F.lit(2.0) * F.col("w")).alias("k2")
+            )
+        )
+        .groupBy("id")
+        .agg(F.sum("k2").alias("k"))
+        .cache()
+    )
+    deg.count()
+    und_all.unpersist()
     m2 = float(deg.agg(F.sum("k")).first()[0] or 0.0)
     if m2 == 0.0:
         adj.unpersist()
@@ -168,9 +185,12 @@ def contract_graph(
     serves any relabel-and-collapse workflow (the Borůvka component
     graph in graph/msf.py is this exact shape).
 
-    ``labels``: (id, label). Shape: two hash joins of the edge list
-    against the (id, label) map + one (a, b) partial-agg sum — per-
-    community skew folds map-side exactly like the modularity agg.
+    ``labels``: (id, label). Input self-loops are KEPT and map to the
+    supernode's self-loop — contracting a contracted graph (level ≥ 2)
+    must carry each community's internal mass forward, not drop it.
+    Shape: two hash joins of the edge list against the (id, label) map
+    + one (a, b) partial-agg sum — per-community skew folds map-side
+    exactly like the modularity agg.
     """
     w = F.col(weight_col) if weight_col else F.lit(1.0)
     und = (
@@ -179,7 +199,6 @@ def contract_graph(
             F.greatest("src", "dst").alias("b"),
             w.cast("double").alias("w"),
         )
-        .filter(F.col("a") != F.col("b"))
         .groupBy("a", "b")
         .agg(F.sum("w").alias("w"))
     )
@@ -196,3 +215,50 @@ def contract_graph(
         .groupBy("a", "b")
         .agg(F.sum("w").alias("w"))
     )
+
+
+def louvain(
+    spark: SparkSession,
+    edges: DataFrame,
+    levels: int = 2,
+    rounds_per_level: int = 6,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Multi-level Louvain: alternate :func:`louvain_move_phase` and
+    :func:`contract_graph` ``levels`` times and flatten the hierarchy
+    back to the ORIGINAL node ids — returns (id, label) where label is
+    the top-level community (labeled by a bottom-level member id, so
+    labels stay joinable against the original graph).
+
+    Level k runs on the level-(k−1) supergraph whose self-loops carry
+    the communities' internal mass — the move phase counts them into
+    k_i and 2m per the modularity convention, which is what makes the
+    upper levels optimize the TRUE modularity of the flattened
+    partition. Each level's graph is community-count-sized, so the
+    first level dominates cost exactly as in sequential Louvain.
+    """
+    if levels < 1:
+        raise ValueError("levels must be >= 1")
+    mapping = louvain_move_phase(
+        spark, edges, rounds=rounds_per_level, weight_col=weight_col
+    ).localCheckpoint(eager=True)
+    g = contract_graph(edges, mapping, weight_col=weight_col)
+    for _ in range(levels - 1):
+        g = g.select(
+            F.col("a").alias("src"), F.col("b").alias("dst"), "w"
+        ).localCheckpoint(eager=True)
+        lv = louvain_move_phase(
+            spark, g, rounds=rounds_per_level, weight_col="w"
+        )
+        mapping = (
+            mapping.join(
+                lv.select(
+                    F.col("id").alias("label"), F.col("label").alias("_up")
+                ),
+                "label",
+            )
+            .select("id", F.col("_up").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        g = contract_graph(g, lv, weight_col="w")
+    return mapping

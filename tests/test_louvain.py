@@ -144,3 +144,113 @@ class TestContraction:
             for r in contract_graph(df, labels).collect()
         }
         assert got == {(0, 0): 3.0, (10, 10): 3.0, (0, 10): 1.0}
+
+
+class TestMultiLevel:
+    def test_two_level_equals_manual_composition(self, spark):
+        import random
+
+        from pyspark.sql import functions as F
+
+        from plwordnet_spark.graph.louvain import (
+            contract_graph,
+            louvain,
+            louvain_move_phase,
+        )
+
+        rng = random.Random(3)
+        edges = []
+        for g in range(4):
+            ids = list(range(g * 6, g * 6 + 6))
+            for i in ids:
+                for j in ids:
+                    if i < j and rng.random() < 0.7:
+                        edges.append((i, j))
+        edges += [(0, 6), (6, 12), (12, 18)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+
+        got = {
+            r["id"]: r["label"]
+            for r in louvain(spark, df, levels=2, rounds_per_level=4).collect()
+        }
+        l1 = louvain_move_phase(spark, df, rounds=4)
+        sg = contract_graph(df, l1).select(
+            F.col("a").alias("src"), F.col("b").alias("dst"), "w"
+        )
+        l2 = louvain_move_phase(spark, sg, rounds=4, weight_col="w")
+        manual = {
+            r["id"]: r["up"]
+            for r in l1.join(
+                l2.select(F.col("id").alias("label"), F.col("label").alias("up")),
+                "label",
+            ).collect()
+        }
+        assert got == manual
+
+    def test_selfloop_degree_matches_python(self, spark):
+        # supergraph with self-loops: k_i must include 2*w_self; replay
+        # one synchronous round in python and compare
+        from plwordnet_spark.graph.louvain import louvain_move_phase
+
+        rows = [(0, 0, 6.0), (1, 1, 2.0), (0, 1, 1.0), (1, 2, 3.0), (0, 2, 1.0)]
+        df = spark.createDataFrame(rows, "src long, dst long, w double")
+        got = {
+            r["id"]: r["label"]
+            for r in louvain_move_phase(spark, df, rounds=1, weight_col="w").collect()
+        }
+
+        und = {(0, 0): 6.0, (1, 1): 2.0, (0, 1): 1.0, (1, 2): 3.0, (0, 2): 1.0}
+        adj = {0: {1: 1.0, 2: 1.0}, 1: {0: 1.0, 2: 3.0}, 2: {0: 1.0, 1: 3.0}}
+        deg = {
+            i: sum(adj[i].values()) + 2.0 * und.get((i, i), 0.0) for i in adj
+        }
+        m2 = sum(deg.values())
+        lab = {i: i for i in adj}
+        new = {}
+        for i in adj:
+            if i % 2 != 0:  # round 1 activates even ids
+                new[i] = lab[i]
+                continue
+            scores = {}
+            cands = {lab[j] for j in adj[i]} | {lab[i]}
+            for c in sorted(cands):
+                kic = sum(w for j, w in adj[i].items() if lab[j] == c)
+                t = sum(deg[x] for x in adj if lab[x] == c)
+                t -= deg[i] if c == lab[i] else 0.0
+                scores[c] = kic - deg[i] * t / m2
+            new[i] = max(sorted(scores), key=lambda c: (scores[c], -c))
+        assert got == new
+
+    def test_level2_modularity_not_worse(self, spark):
+        import random
+
+        from pyspark.sql import functions as F
+
+        from plwordnet_spark.graph.louvain import louvain, louvain_move_phase
+        from plwordnet_spark.graph.stats import modularity
+
+        rng = random.Random(11)
+        edges = []
+        for g in range(6):
+            ids = list(range(g * 5, g * 5 + 5))
+            for i in ids:
+                for j in ids:
+                    if i < j and rng.random() < 0.8:
+                        edges.append((i, j))
+        for _ in range(8):
+            edges.append((rng.randrange(30), rng.randrange(30)))
+        edges = [(u, v) for u, v in edges if u != v]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        q1 = modularity(
+            df,
+            louvain_move_phase(spark, df, rounds=4).select(
+                "id", F.col("label").alias("community")
+            ),
+        ).first()["modularity"]
+        q2 = modularity(
+            df,
+            louvain(spark, df, levels=2, rounds_per_level=4).select(
+                "id", F.col("label").alias("community")
+            ),
+        ).first()["modularity"]
+        assert q2 >= q1 - 1e-9
