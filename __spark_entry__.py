@@ -464,6 +464,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_seed_spread": lambda s, d: _q_seed_spread(s, d),
         "q_bfs_tree": lambda s, d: _q_bfs_tree(s, d),
         "q_incremental_cc": lambda s, d: _q_incremental_cc(s, d),
+        "q_graph_diff": lambda s, d: _q_graph_diff(s, d),
+        "q_attack_curve": lambda s, d: _q_attack_curve(s, d),
         "q_skipgram": lambda s, d: _q_skipgram(s, d),
         "q_ppr_batch": lambda s, d: _q_ppr_batch(s, d),
         # --- round-5 widening: behavior sequences, distribution stats, OLAP ---
@@ -2004,6 +2006,126 @@ def _q_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _derived_edges(spark, sf_dir)
     res = bfs_distances(spark, edges, sources=[0], directed=False)
     return res.state.select("id", "dist")
+
+
+_ATTACK_FRACS = (0.0, 0.1)
+
+
+def _q_attack_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hub-attack tolerance curve (graph/stats.py attack_robustness):
+    largest surviving component after deleting the top-f nodes by
+    (degree, id) — the Albert–Barabási resilience report for the
+    derived graph, one CC run per f."""
+    from plwordnet_spark.graph.stats import attack_robustness
+
+    return attack_robustness(
+        spark, _derived_edges(spark, sf_dir), fracs=_ATTACK_FRACS
+    )
+
+
+def _attack_oracle_sql(fracs=_ATTACK_FRACS) -> str:
+    parts = [
+        f"""WITH RECURSIVE edges AS ({_EDGE_SQL_DERIVATION}),
+        und AS MATERIALIZED (
+            SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+            FROM edges
+        ),
+        deg AS MATERIALIZED (
+            SELECT id, CAST(count(*) AS BIGINT) AS d FROM (
+                SELECT a AS id FROM und UNION ALL SELECT b FROM und
+            ) GROUP BY id
+        ),
+        nn AS (SELECT CAST(count(*) AS BIGINT) AS c FROM deg),
+        ranked AS MATERIALIZED (
+            SELECT id, row_number() OVER (ORDER BY d DESC, id) AS rk
+            FROM deg
+        )"""
+    ]
+    selects = []
+    for i, f in enumerate(fracs):
+        parts.append(
+            f""",
+        rm{i} AS MATERIALIZED (
+            SELECT id FROM ranked
+            WHERE rk <= CAST(ceil({float(f)} * (SELECT c FROM nn)) AS BIGINT)
+        ),
+        sym{i} AS MATERIALIZED (
+            SELECT u, v FROM (
+                SELECT a AS u, b AS v FROM und
+                UNION ALL SELECT b AS u, a AS v FROM und
+            )
+            WHERE u NOT IN (SELECT id FROM rm{i})
+              AND v NOT IN (SELECT id FROM rm{i})
+        ),
+        ids{i} AS (
+            SELECT id FROM deg WHERE id NOT IN (SELECT id FROM rm{i})
+        ),
+        reach{i}(id, comp) AS (
+            SELECT id, id FROM ids{i}
+            UNION
+            SELECT s.u, r.comp
+            FROM reach{i} r JOIN sym{i} s ON r.id = s.v
+            WHERE r.comp < s.u
+        ),
+        cc{i} AS (
+            SELECT id, MIN(comp) AS comp FROM reach{i} GROUP BY id
+        ),
+        big{i} AS (
+            SELECT COALESCE(MAX(n), 0) AS largest FROM (
+                SELECT comp, count(*) AS n FROM cc{i} GROUP BY comp)
+        )"""
+        )
+        selects.append(
+            f"""
+        SELECT CAST({float(f)} AS DOUBLE) AS frac,
+               CAST(ceil({float(f)} * (SELECT c FROM nn)) AS BIGINT)
+                   AS n_removed,
+               (SELECT c FROM nn)
+                   - CAST(ceil({float(f)} * (SELECT c FROM nn)) AS BIGINT)
+                   AS n_nodes_left,
+               CAST((SELECT largest FROM big{i}) AS BIGINT) AS largest_cc,
+               ROUND(CAST((SELECT largest FROM big{i}) AS DOUBLE)
+                     / ((SELECT c FROM nn)
+                        - CAST(ceil({float(f)} * (SELECT c FROM nn))
+                               AS BIGINT)), 6) AS frac_largest"""
+        )
+    parts.append("\n        UNION ALL".join(selects))
+    return "".join(parts)
+
+
+def _q_graph_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-over-crawl edge delta: snapshot A = edges observed before
+    the cutoff ship-date, snapshot B = all edges; per-node in-degree
+    before/after plus the global added/removed split — the freshness
+    report a recrawl pipeline emits. Two anti-joins + two degree aggs,
+    all map-side-partial; no iteration."""
+    e_all = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") % 211).cast("long").alias("src"),
+        (F.col("l_partkey") % 211).cast("long").alias("dst"),
+        F.col("l_shipdate"),
+    ).filter(F.col("src") != F.col("dst"))
+    cutoff = F.lit("1997-01-01").cast("timestamp")
+    a = e_all.filter(F.col("l_shipdate") < cutoff).select("src", "dst").distinct()
+    b = e_all.select("src", "dst").distinct()
+    added = b.join(a, ["src", "dst"], "left_anti")
+    deg_a = a.groupBy(F.col("dst").alias("id")).agg(
+        F.count(F.lit(1)).alias("in_a")
+    )
+    deg_b = b.groupBy(F.col("dst").alias("id")).agg(
+        F.count(F.lit(1)).alias("in_b")
+    )
+    per_node = (
+        deg_a.join(deg_b, "id", "full")
+        .select(
+            "id",
+            F.coalesce("in_a", F.lit(0)).alias("in_a"),
+            F.coalesce("in_b", F.lit(0)).alias("in_b"),
+        )
+        .withColumn("delta", F.col("in_b") - F.col("in_a"))
+        .filter(F.col("delta") != 0)
+    )
+    n_added = added.agg(F.count(F.lit(1)).alias("n_added_edges"))
+    return per_node.crossJoin(F.broadcast(n_added))
 
 
 def _q_incremental_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4793,6 +4915,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT direction, degree, CAST(count(*) AS BIGINT) AS n_nodes
             FROM tagged
             GROUP BY direction, degree
+        """,
+        "q_attack_curve": _attack_oracle_sql(),
+        "q_graph_diff": """
+            WITH base AS (
+                SELECT DISTINCT CAST(l_orderkey % 211 AS BIGINT) AS src,
+                       CAST(l_partkey % 211 AS BIGINT) AS dst, l_shipdate
+                FROM lineitem
+                WHERE l_orderkey % 211 <> l_partkey % 211
+            ),
+            a AS (SELECT DISTINCT src, dst FROM base
+                  WHERE l_shipdate < TIMESTAMP '1997-01-01'),
+            b AS (SELECT DISTINCT src, dst FROM base),
+            added AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_added_edges FROM b
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM a WHERE a.src = b.src AND a.dst = b.dst)
+            ),
+            da AS (SELECT dst AS id, CAST(count(*) AS BIGINT) AS in_a
+                   FROM a GROUP BY dst),
+            db AS (SELECT dst AS id, CAST(count(*) AS BIGINT) AS in_b
+                   FROM b GROUP BY dst)
+            SELECT COALESCE(da.id, db.id) AS id,
+                   COALESCE(in_a, 0) AS in_a,
+                   COALESCE(in_b, 0) AS in_b,
+                   COALESCE(in_b, 0) - COALESCE(in_a, 0) AS delta,
+                   (SELECT n_added_edges FROM added) AS n_added_edges
+            FROM da FULL JOIN db ON da.id = db.id
+            WHERE COALESCE(in_b, 0) - COALESCE(in_a, 0) <> 0
         """,
         "q_incremental_cc": f"""
             WITH RECURSIVE edges AS ({_EDGE_SQL_DERIVATION}),

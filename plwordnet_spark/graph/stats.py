@@ -18,10 +18,14 @@ aggregation; no joins.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import math
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
+    "attack_robustness",
     "avg_neighbor_degree",
     "conductance",
     "degree_distribution",
@@ -436,4 +440,86 @@ def hop_histogram(
                 F.col("cum_pairs").cast("double") / F.col("_tot"), round_to
             ).alias("frac_cum"),
         )
+    )
+
+
+def attack_robustness(
+    spark,
+    edges: DataFrame,
+    fracs: Sequence[float] = (0.0, 0.05, 0.2),
+) -> DataFrame:
+    """Targeted-attack tolerance curve (Albert, Jeong & Barabási,
+    Nature 2000): for each fraction f, delete the top-f nodes by
+    (undirected degree DESC, id ASC — deterministic) and report the
+    largest surviving component. Scale-free link graphs shatter under
+    hub removal while tolerating random failure — this curve is the
+    resilience report for a crawl graph (how hub-dependent is
+    connectivity?) and doubles as mirror/CDN-dependency triage.
+
+    Returns one row per f: ``(frac, n_removed, n_nodes_left,
+    largest_cc, frac_largest)``.
+
+    Shape: degrees once; per f one anti-join + one CC run on the
+    induced subgraph (|fracs| is a handful — the driver loop is over
+    CONFIG, not data). The exact global (degree, id) rank is the
+    test/small-graph mode; at web scale replace it with a degree
+    THRESHOLD from the degree histogram (approx quantile) — same
+    curve, no global sort.
+    """
+    from plwordnet_spark.graph.components import connected_components
+
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .cache()
+    )
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .unionByName(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .cache()
+    )
+    n_nodes = deg.count()
+    ranked = deg.withColumn(
+        "rk",
+        F.row_number().over(Window.orderBy(F.desc("deg"), F.asc("id"))),
+    ).cache()
+    rows = []
+    for f in fracs:
+        n_rm = int(math.ceil(float(f) * n_nodes))
+        removed = ranked.filter(F.col("rk") <= n_rm).select("id")
+        kept = (
+            und.join(removed.withColumnRenamed("id", "a"), "a", "left_anti")
+            .join(removed.withColumnRenamed("id", "b"), "b", "left_anti")
+            .select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        )
+        left_ids = deg.join(removed, "id", "left_anti").select("id")
+        n_left = left_ids.count()
+        if n_left == 0:
+            rows.append((float(f), n_rm, 0, 0))
+            continue
+        cc = connected_components(spark, kept, nodes=left_ids).state
+        largest = (
+            cc.groupBy("component").agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.max("n"))
+            .first()[0]
+        )
+        rows.append((float(f), n_rm, n_left, int(largest)))
+    und.unpersist()
+    deg.unpersist()
+    ranked.unpersist()
+    out = spark.createDataFrame(
+        rows, "frac double, n_removed long, n_nodes_left long, largest_cc long"
+    )
+    return out.withColumn(
+        "frac_largest",
+        F.round(
+            F.when(F.col("n_nodes_left") > 0,
+                   F.col("largest_cc") / F.col("n_nodes_left")).otherwise(0.0),
+            6,
+        ),
     )

@@ -140,3 +140,46 @@ class TestDirectedTriangleCensus:
         edges = [(i, 0) for i in range(1, 6)] + [(0, i) for i in range(6, 11)]
         assert self._run(spark, edges)[0] == 25
         assert self._run(spark, edges, max_mid_degree=4)[0] == 0
+
+
+class TestAttackRobustness:
+    def test_matches_networkx_replay(self, spark):
+        import math
+        import random
+
+        import networkx as nx
+
+        from plwordnet_spark.graph.stats import attack_robustness
+
+        rng = random.Random(4)
+        edges = [(rng.randrange(30), rng.randrange(30)) for _ in range(55)]
+        edges = [(u, v) for u, v in edges if u != v]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        fracs = (0.0, 0.1, 0.3)
+        got = {
+            r["frac"]: (r["n_removed"], r["n_nodes_left"], r["largest_cc"])
+            for r in attack_robustness(spark, df, fracs=fracs).collect()
+        }
+        g = nx.Graph(edges)
+        order = sorted(g.nodes, key=lambda i: (-g.degree[i], i))
+        n = g.number_of_nodes()
+        for f in fracs:
+            k = math.ceil(f * n)
+            h = g.copy()
+            h.remove_nodes_from(order[:k])
+            largest = max(
+                (len(c) for c in nx.connected_components(h)), default=0
+            )
+            assert got[f] == (k, n - k, largest)
+
+    def test_star_shatters_under_hub_removal(self, spark):
+        from plwordnet_spark.graph.stats import attack_robustness
+
+        edges = [(0, i) for i in range(1, 21)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            r["frac"]: r["largest_cc"]
+            for r in attack_robustness(spark, df, fracs=(0.0, 0.05)).collect()
+        }
+        assert got[0.0] == 21  # intact star
+        assert got[0.05] == 1  # hub (top ~1 of 21) gone -> isolated leaves
