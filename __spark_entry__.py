@@ -466,6 +466,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_incremental_cc": lambda s, d: _q_incremental_cc(s, d),
         "q_graph_diff": lambda s, d: _q_graph_diff(s, d),
         "q_attack_curve": lambda s, d: _q_attack_curve(s, d),
+        "q_ewma": lambda s, d: _q_ewma(s, d),
+        "q_edit_pairs": lambda s, d: _q_edit_pairs(s, d),
+        "q_anomaly_days": lambda s, d: _q_anomaly_days(s, d),
         "q_skipgram": lambda s, d: _q_skipgram(s, d),
         "q_ppr_batch": lambda s, d: _q_ppr_batch(s, d),
         # --- round-5 widening: behavior sequences, distribution stats, OLAP ---
@@ -4135,6 +4138,86 @@ def _q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked Levenshtein near-pair join (textops/dedup.py
+    edit_distance_pairs) over distinct part names keyed by min partkey:
+    the typo/mirror record-linkage primitive; q-gram blocking bounds
+    the candidate set, JVM levenshtein scores survivors exactly."""
+    from plwordnet_spark.textops.dedup import edit_distance_pairs
+
+    names = (
+        _t(spark, sf_dir, "part")
+        .groupBy("p_name")
+        .agg(F.min("p_partkey").alias("key"))
+        .select(F.col("key").alias("doc_id"), F.col("p_name").alias("text"))
+    )
+    return edit_distance_pairs(names, max_dist=3, block_ngram=3)
+
+
+def _q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated exponentially weighted moving average over the daily
+    event-count series (window-7 explicit weights, alpha=0.5): the
+    trend smoother behind freshness/throughput dashboards. A true
+    infinite-memory EWMA is a sequential recurrence; the 7-term
+    truncation (residual weight < 1%) makes it a pure window expression
+    both engines evaluate identically."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = W.partitionBy("event_type").orderBy("day")
+    alpha = 0.5
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for k in range(7):
+        wk = F.lit(alpha * (1 - alpha) ** k)
+        lagged = F.lag("n", k).over(w)
+        num = num + F.when(lagged.isNotNull(), wk * lagged).otherwise(F.lit(0.0))
+        den = den + F.when(lagged.isNotNull(), wk).otherwise(F.lit(0.0))
+    return daily.select(
+        "day", "event_type", "n", F.round(num / den, 6).alias("ewma")
+    )
+
+
+def _q_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-series anomaly gate: days whose count deviates from
+    the series MEDIAN by more than 3 robust z (MAD-normalized, the
+    1.4826 consistency constant) — the outlier detector that survives
+    the very outliers a mean/stddev gate is poisoned by; reported as the
+    top-40 most anomalous (series, day) pairs so the gate is inspectable
+    even on well-behaved data. Two exact percentile aggs per series
+    (interpolated, matching quantile_cont)."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    med = daily.groupBy("event_type").agg(
+        F.expr("percentile(n, 0.5)").alias("med")
+    )
+    d2 = daily.join(med, "event_type").withColumn(
+        "adev", F.abs(F.col("n") - F.col("med"))
+    )
+    mad = d2.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    return (
+        d2.join(mad, "event_type")
+        .withColumn(
+            "rz",
+            F.col("adev") / (F.lit(1.4826) * F.col("mad")),
+        )
+        .select(
+            "event_type",
+            "day",
+            "n",
+            F.round("med", 4).alias("med"),
+            F.round("rz", 6).alias("robust_z"),
+        )
+        .orderBy(F.desc("robust_z"), F.asc("event_type"), F.asc("day"))
+        .limit(40)
+    )
+
+
 def _q_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Burst detection over the event stream: per (day, event_type)
     counts vs the trailing-3-day mean of the same type (lag window),
@@ -4917,6 +5000,72 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY direction, degree
         """,
         "q_attack_curve": _attack_oracle_sql(),
+        "q_edit_pairs": """
+            WITH names AS (
+                SELECT MIN(p_partkey) AS id, lower(p_name) AS s
+                FROM part GROUP BY p_name
+            ),
+            grams AS (
+                SELECT DISTINCT id, s,
+                       substring(s, gs.i, 3) AS g
+                FROM names, UNNEST(generate_series(
+                    1, greatest(length(s) - 2, 1))) AS gs(i)
+            ),
+            cand AS (
+                SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.s AS sa, b.s AS sb
+                FROM grams a JOIN grams b ON a.g = b.g AND a.id < b.id
+            )
+            SELECT id_a, id_b, CAST(levenshtein(sa, sb) AS INTEGER) AS dist
+            FROM cand WHERE levenshtein(sa, sb) <= 3
+        """,
+        "q_ewma": f"""
+            WITH daily AS (
+                SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                       event_type, CAST(count(*) AS BIGINT) AS n
+                FROM events GROUP BY 1, 2
+            ),
+            lagged AS (
+                SELECT day, event_type, n,
+                    {" + ".join(
+                        f"COALESCE({0.5 * 0.5 ** k} * LAG(n, {k}) OVER w, 0.0)"
+                        for k in range(7)
+                    )} AS num,
+                    {" + ".join(
+                        f"CASE WHEN LAG(n, {k}) OVER w IS NOT NULL"
+                        f" THEN {0.5 * 0.5 ** k} ELSE 0.0 END"
+                        for k in range(7)
+                    )} AS den
+                FROM daily
+                WINDOW w AS (PARTITION BY event_type ORDER BY day)
+            )
+            SELECT day, event_type, n, ROUND(num / den, 6) AS ewma
+            FROM lagged
+        """,
+        "q_anomaly_days": """
+            WITH daily AS (
+                SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                       event_type, CAST(count(*) AS BIGINT) AS n
+                FROM events GROUP BY 1, 2
+            ),
+            med AS (
+                SELECT event_type, quantile_cont(n, 0.5) AS med
+                FROM daily GROUP BY event_type
+            ),
+            d2 AS (
+                SELECT daily.*, med.med, ABS(n - med.med) AS adev
+                FROM daily JOIN med USING (event_type)
+            ),
+            mad AS (
+                SELECT event_type, quantile_cont(adev, 0.5) AS mad
+                FROM d2 GROUP BY event_type
+            )
+            SELECT d2.event_type, d2.day, d2.n,
+                   ROUND(d2.med, 4) AS med,
+                   ROUND(d2.adev / (1.4826 * mad.mad), 6) AS robust_z
+            FROM d2 JOIN mad USING (event_type)
+            ORDER BY robust_z DESC, d2.event_type, d2.day
+            LIMIT 40
+        """,
         "q_graph_diff": """
             WITH base AS (
                 SELECT DISTINCT CAST(l_orderkey % 211 AS BIGINT) AS src,

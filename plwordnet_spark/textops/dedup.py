@@ -42,6 +42,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "ngram_containment_pairs",
     "exact_jaccard_for_pairs",
+    "edit_distance_pairs",
 ]
 
 
@@ -478,4 +479,72 @@ def ngram_containment_pairs(
         .withColumn("cont_b", F.col("common") / F.col("size_b"))
         .filter(F.greatest("cont_a", "cont_b") >= F.lit(threshold))
         .select("id_a", "id_b", "cont_a", "cont_b")
+    )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    col: str = "text",
+    id_col: str = "doc_id",
+    max_dist: int = 2,
+    block_ngram: int = 3,
+    max_block: int = 10_000,
+) -> DataFrame:
+    """Blocked Levenshtein join: (id_a, id_b, dist) for pairs whose
+    strings are within ``max_dist`` edits — typo-squat hostnames,
+    near-identical titles, OCR'd duplicates: the record-linkage cousin
+    of the token-set dedups above, sensitive to single-character edits
+    Jaccard shingles dilute.
+
+    All-pairs Levenshtein is O(n²·len²); the standard q-gram filter
+    bounds it: strings within d edits share at least one character
+    ``block_ngram``-gram whenever min_len ≥ q·(d+1) (Gravano et al.,
+    VLDB 2001 — count filtering, applied here at its coarsest), so
+    candidates = pairs sharing ≥1 gram. Grams in more than
+    ``max_block`` strings are dropped from BLOCKING only (the hot-key
+    guard of the inverted-index joins in this module — stop-grams pair
+    everything with everything); distances stay exact on surviving
+    candidates via the JVM ``levenshtein`` — no Python in the loop, and
+    the whole plan replays in SQL (DuckDB ships the same metric).
+
+    Shorter strings than q·(d+1) may be missed by blocking — the
+    documented recall contract of every q-gram filter; lower
+    ``block_ngram`` for very short keys.
+    """
+    base = df.select(
+        F.col(id_col).alias("_id"), F.lower(F.col(col)).alias("_s")
+    ).distinct()
+    grams = base.select(
+        "_id",
+        "_s",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(length(_s) - {block_ngram - 1}, 1)),"
+                f" i -> substring(_s, i, {block_ngram}))"
+            )
+        ).alias("g"),
+    ).distinct()
+    hot = (
+        grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > max_block)
+        .select("g")
+    )
+    grams = grams.join(hot, "g", "left_anti")
+    a = grams.select(
+        "g", F.col("_id").alias("id_a"), F.col("_s").alias("sa")
+    )
+    b = grams.select(
+        "g", F.col("_id").alias("id_b"), F.col("_s").alias("sb")
+    )
+    cand = (
+        a.join(b, "g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sa", "sb")
+        .distinct()
+    )
+    return (
+        cand.withColumn("dist", F.levenshtein("sa", "sb"))
+        .filter(F.col("dist") <= max_dist)
+        .select("id_a", "id_b", "dist")
     )
