@@ -316,6 +316,51 @@ def main() -> int:
         f"{len(gen_idx)} explode(s) in tree",
     )
 
+    # 21. temporal-reachability relax step (one round, the exact
+    # expressions of graph/temporal.py step()): the time guard
+    # (t >= arr) filters candidates BEFORE the min-gather shuffle, and
+    # the gather folds map-side. (The operator localCheckpoints its
+    # state, so the returned plan is an ExistingRDD — audit the step
+    # shape the loop runs, as the BFS/gather checks above do.)
+    trel = spark.createDataFrame(
+        [(0, 1, 5), (1, 2, 7), (2, 3, 9)], "src long, dst long, t long"
+    ).select(F.col("src").alias("u"), F.col("dst").alias("v"), "t")
+    tstate = spark.createDataFrame([(0, 0)], "u long, arr long")
+    toffers = (
+        trel.join(tstate, "u")
+        .filter(F.col("t") >= F.col("arr"))
+        .groupBy(F.col("v").alias("id"))
+        .agg(F.min("t").alias("na"))
+    )
+    tplan = plan_of(toffers)
+    agg_pos = tplan.find("HashAggregate")
+    guard_pos = tplan.find(">= arr")
+    check(
+        "temporal relax filters the time guard below the min-gather",
+        "partial_min" in tplan and 0 <= agg_pos < guard_pos,
+        f"agg@{agg_pos} guard@{guard_pos}",
+    )
+
+    # 22. louvain vote gather (one round's nbr aggregate, the exact
+    # expressions of graph/louvain.py): the (node, community) vote sum
+    # folds map-side before the shuffle
+    ladj = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, 1.0), (2, 0, 1.0)], "i long, j long, w double"
+    )
+    llabels = spark.createDataFrame([(0, 0), (1, 1), (2, 2)], "id long, label long")
+    lnbr = (
+        ladj.join(
+            llabels.select(F.col("id").alias("j"), F.col("label").alias("c")),
+            "j",
+        )
+        .groupBy(F.col("i").alias("id"), "c")
+        .agg(F.sum("w").alias("kic"))
+    )
+    check(
+        "louvain vote gather has map-side partial aggregation",
+        "partial_sum" in plan_of(lnbr),
+    )
+
     print()
     print("=== sample plans ===")
     for title, p in (("pushdown", plan), ("gather", gplan)):
