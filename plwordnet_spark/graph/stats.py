@@ -447,14 +447,19 @@ def attack_robustness(
     spark,
     edges: DataFrame,
     fracs: Sequence[float] = (0.0, 0.05, 0.2),
+    mode: str = "degree",
+    seed: int = 0,
 ) -> DataFrame:
-    """Targeted-attack tolerance curve (Albert, Jeong & Barabási,
-    Nature 2000): for each fraction f, delete the top-f nodes by
-    (undirected degree DESC, id ASC — deterministic) and report the
-    largest surviving component. Scale-free link graphs shatter under
-    hub removal while tolerating random failure — this curve is the
-    resilience report for a crawl graph (how hub-dependent is
-    connectivity?) and doubles as mirror/CDN-dependency triage.
+    """Targeted-attack / random-failure tolerance curves (Albert, Jeong
+    & Barabási, Nature 2000): for each fraction f, delete top-f nodes —
+    ``mode="degree"``: by (undirected degree DESC, id ASC); the attack.
+    ``mode="random"``: by the portable congruential draw on the node id
+    (textops.sampling's generator — deterministic, engine-replayable);
+    the failure baseline. Scale-free link graphs shatter under hub
+    removal while tolerating random failure — the GAP between the two
+    curves is the resilience report for a crawl graph (how
+    hub-dependent is connectivity?) and doubles as mirror/CDN-
+    dependency triage.
 
     Returns one row per f: ``(frac, n_removed, n_nodes_left,
     largest_cc, frac_largest)``.
@@ -484,10 +489,21 @@ def attack_robustness(
         .cache()
     )
     n_nodes = deg.count()
-    ranked = deg.withColumn(
-        "rk",
-        F.row_number().over(Window.orderBy(F.desc("deg"), F.asc("id"))),
-    ).cache()
+    if mode == "degree":
+        order = Window.orderBy(F.desc("deg"), F.asc("id"))
+    elif mode == "random":
+        from plwordnet_spark.textops.sampling import SAMPLE_A, SAMPLE_B, SAMPLE_P
+
+        # id+1 in the mix: id 0 would otherwise always draw the raw
+        # offset constant and be "randomly" removed first
+        draw = (
+            ((F.col("id") + 1) % F.lit(SAMPLE_P)) * F.lit(SAMPLE_A)
+            + F.lit(SAMPLE_B + seed)
+        ) % F.lit(SAMPLE_P)
+        order = Window.orderBy(draw.asc(), F.asc("id"))
+    else:
+        raise ValueError(f"unknown mode: {mode}")
+    ranked = deg.withColumn("rk", F.row_number().over(order)).cache()
     rows = []
     for f in fracs:
         n_rm = int(math.ceil(float(f) * n_nodes))

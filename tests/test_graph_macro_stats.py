@@ -183,3 +183,44 @@ class TestAttackRobustness:
         }
         assert got[0.0] == 21  # intact star
         assert got[0.05] == 1  # hub (top ~1 of 21) gone -> isolated leaves
+
+
+class TestRandomFailureMode:
+    def test_star_survives_random_failure_but_not_attack(self, spark):
+        from plwordnet_spark.graph.stats import attack_robustness
+
+        # big star: hub attack shatters instantly, random failure at the
+        # same fraction almost surely hits a leaf and keeps the core
+        edges = [(0, i) for i in range(1, 41)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        atk = {r["frac"]: r["largest_cc"]
+               for r in attack_robustness(df.sparkSession, df,
+                                          fracs=(0.03,)).collect()}
+        rnd = {r["frac"]: r["largest_cc"]
+               for r in attack_robustness(df.sparkSession, df, fracs=(0.03,),
+                                          mode="random").collect()}
+        assert atk[0.03] == 1      # hub removed -> isolated leaves
+        assert rnd[0.03] >= 38     # a leaf removed -> star survives
+
+    def test_random_mode_matches_formula_replay(self, spark):
+        from plwordnet_spark.graph.stats import attack_robustness
+        from plwordnet_spark.textops.sampling import SAMPLE_A, SAMPLE_B, SAMPLE_P
+
+        import math
+
+        edges = [(i, (i + 1) % 20) for i in range(20)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        f = 0.25
+        got = attack_robustness(spark, df, fracs=(f,), mode="random").first()
+        nodes = sorted({x for e in edges for x in e})
+        k = math.ceil(f * len(nodes))
+        draw = {i: (((i + 1) % SAMPLE_P) * SAMPLE_A + SAMPLE_B) % SAMPLE_P for i in nodes}
+        removed = set(sorted(nodes, key=lambda i: (draw[i], i))[:k])
+        # replay CC on the ring minus removed
+        kept = [e for e in edges if e[0] not in removed and e[1] not in removed]
+        import networkx as nx
+
+        g = nx.Graph(kept)
+        g.add_nodes_from(set(nodes) - removed)
+        largest = max((len(c) for c in nx.connected_components(g)), default=0)
+        assert (got["n_removed"], got["largest_cc"]) == (k, largest)
