@@ -469,6 +469,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_failure_curve": lambda s, d: _q_failure_curve(s, d),
         "q_ewma": lambda s, d: _q_ewma(s, d),
         "q_edit_pairs": lambda s, d: _q_edit_pairs(s, d),
+        "q_path_rollup": lambda s, d: _q_path_rollup(s, d),
+        "q_langid_confusion": lambda s, d: _q_langid_confusion(s, d),
+        "q_vocab_richness": lambda s, d: _q_vocab_richness(s, d),
         "q_anomaly_days": lambda s, d: _q_anomaly_days(s, d),
         "q_skipgram": lambda s, d: _q_skipgram(s, d),
         "q_ppr_batch": lambda s, d: _q_ppr_batch(s, d),
@@ -4144,6 +4147,85 @@ def _q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_path_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-tree rollup: page counts under every URL path PREFIX at
+    every depth (the site-map histogram a crawler budgets by —
+    /en 25k pages, /en/doc 24k, ...). One codegen prefix-explode +
+    one partial-agg count; prefixes per URL = its depth, so output is
+    sitemap-sized, never corpus×depth."""
+    d = _t(spark, sf_dir, "documents")
+    parts = F.array(
+        F.col("lang"),
+        F.lit("doc"),
+        (F.col("doc_id") % 10).cast("string"),
+    )
+    prefixes = F.transform(
+        F.sequence(F.lit(1), F.size(parts)),
+        lambda i: F.concat(F.lit("/"), F.array_join(F.slice(parts, 1, i), "/")),
+    )
+    return (
+        d.select(F.explode(prefixes).alias("prefix"))
+        .groupBy("prefix")
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+        .withColumn(
+            "depth", (F.size(F.split("prefix", "/")) - 1).cast("integer")
+        )
+    )
+
+
+def _q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: the declared lang column vs the
+    n-gram heuristic classifier (textops/quality.py language_id_expr) —
+    per (declared, predicted) page counts, the quality-eval table for
+    any classifier gate. Pure column exprs + one histogram-sized agg."""
+    from plwordnet_spark.textops.quality import language_id
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(
+            F.col("lang").alias("declared"),
+            language_id(F.col("text")).alias("predicted"),
+        )
+        .groupBy("declared", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _q_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-richness gate: per-doc type-token ratio and hapax
+    fraction — keyword-stuffed spam has low TTR, lorem-ipsum generators
+    have near-1 hapax; returns the 50 least-rich documents. One
+    tokenize pass, distinct-fold inside the doc grouping."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+                lambda w: F.length(w) > 0,
+            )
+        ).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    return (
+        tf.groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum(F.when(F.col("tf") == 1, 1).otherwise(0)).alias("n_hapax"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_types",
+            F.round(F.col("n_types") / F.col("n_tokens"), 6).alias("ttr"),
+            F.round(F.col("n_hapax") / F.col("n_types"), 6).alias("hapax_frac"),
+        )
+        .orderBy(F.asc("ttr"), F.asc("doc_id"))
+        .limit(50)
+    )
+
+
 def _q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization (frontier.py canonical_url_expr): the
     pre-frontier dedup key. URLs synthesized with every rule's trigger
@@ -5030,6 +5112,51 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_attack_curve": _attack_oracle_sql(),
         "q_failure_curve": _attack_oracle_sql(mode="random"),
+        "q_path_rollup": """
+            WITH parts AS (
+                SELECT [lang, 'doc', CAST(doc_id % 10 AS VARCHAR)] AS p
+                FROM documents
+            ),
+            pref AS (
+                SELECT '/' || array_to_string(p[1:gs.i], '/') AS prefix
+                FROM parts, UNNEST(generate_series(1, len(p))) AS gs(i)
+            )
+            SELECT prefix, CAST(count(*) AS BIGINT) AS n_pages,
+                   CAST(len(string_split(prefix, '/')) - 1 AS INTEGER)
+                       AS depth
+            FROM pref GROUP BY prefix
+        """,
+        "q_langid_confusion": f"""
+            WITH w AS (SELECT lang, {_WORDS_SQL} AS ws FROM documents),
+            r AS (SELECT lang, {_stop_ratio_sql(_PL_SQL)} AS pl,
+                         {_stop_ratio_sql(_EN_SQL)} AS en FROM w)
+            SELECT lang AS declared,
+                   CASE WHEN pl < 0.02 AND en < 0.02 THEN 'unknown'
+                        WHEN pl >= en THEN 'pl' ELSE 'en' END AS predicted,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM r GROUP BY 1, 2
+        """,
+        "q_vocab_richness": f"""
+            WITH toks AS (
+                SELECT doc_id, unnest({_WORDS_SQL}) AS term FROM documents
+            ),
+            tf AS (
+                SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                FROM toks GROUP BY doc_id, term
+            ),
+            agg AS (
+                SELECT doc_id,
+                       CAST(SUM(tf) AS BIGINT) AS n_tokens,
+                       CAST(count(*) AS BIGINT) AS n_types,
+                       CAST(SUM(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                           AS n_hapax
+                FROM tf GROUP BY doc_id
+            )
+            SELECT doc_id, n_tokens, n_types,
+                   ROUND(n_types * 1.0 / n_tokens, 6) AS ttr,
+                   ROUND(n_hapax * 1.0 / n_types, 6) AS hapax_frac
+            FROM agg ORDER BY ttr, doc_id LIMIT 50
+        """,
         "q_edit_pairs": """
             WITH names AS (
                 SELECT MIN(p_partkey) AS id, lower(p_name) AS s
