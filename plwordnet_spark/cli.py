@@ -15,6 +15,7 @@ Reference: ``plwordnet-cli`` / ``plwordnet-milvus`` subcommands
 | embedder-dataset-dedupliactor            | dedup                        |
 | (implicit: corpus statistics)            | profile (sketch one-pass)    |
 | relgat triplet export (graph→trainset)   | walk-corpus (walks/skip-gram)|
+| (implicit: synset grouping)              | communities (Louvain)        |
 
 Launch locally (``python -m plwordnet_spark.cli ...``) or on a cluster:
 
@@ -304,6 +305,34 @@ def cmd_corpus_clean(args) -> int:
     return 0
 
 
+def cmd_communities(args) -> int:
+    """Multi-level Louvain over an edge table (graph/louvain.py):
+    writes (id, label) and reports community count + modularity of the
+    flattened partition — the clustering every host-level rollup and
+    SemDeDup-style gate consumes."""
+    spark = get_spark("cli-communities", master=args.master)
+    from plwordnet_spark.graph.louvain import louvain
+    from plwordnet_spark.graph.stats import modularity
+
+    edges = spark.read.parquet(args.edges)
+    labels = louvain(
+        spark, edges, levels=args.levels, rounds_per_level=args.rounds
+    )
+    comm = labels.select("id", F.col("label").alias("community"))
+    q = modularity(edges, comm).first()["modularity"]
+    report = {
+        "nodes": labels.count(),
+        "communities": labels.select("label").distinct().count(),
+        "modularity": q,
+        "levels": args.levels,
+    }
+    if args.output:
+        labels.write.mode("overwrite").parquet(args.output)
+    print(json.dumps(report))
+    spark.stop()
+    return 0
+
+
 def cmd_walk_corpus(args) -> int:
     """Graph-embedding corpus generation: deterministic (node2vec-
     biased when p/q != 1) random walks over an edge table, optionally
@@ -529,6 +558,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--default-rate", type=float, default=1.0)
     p.add_argument("--seed", type=int, default=0)
     p.set_defaults(fn=cmd_corpus_clean)
+
+    p = sub.add_parser("communities"); _add_common(p)
+    p.add_argument("--edges", required=True, help="parquet edge table (src, dst[, weight])")
+    p.add_argument("--levels", type=int, default=2)
+    p.add_argument("--rounds", type=int, default=6)
+    p.set_defaults(fn=cmd_communities)
 
     p = sub.add_parser("walk-corpus"); _add_common(p)
     p.add_argument("--edges", required=True, help="parquet edge table (src, dst[, weight])")

@@ -128,3 +128,29 @@ def test_cli_walk_corpus_pairs(spark, tmp_path):
     a = sorted(map(tuple, spark.read.parquet(out1).collect()))
     b = sorted(map(tuple, spark.read.parquet(out2).collect()))
     assert a == b and len(a) > 0
+
+
+def test_cli_communities(spark, tmp_path):
+    import json
+
+    from plwordnet_spark.cli import main
+
+    # two dense cliques + a bridge: expect 2 communities, positive Q
+    edges = []
+    for base in (0, 10):
+        ids = list(range(base, base + 6))
+        edges += [(i, j) for i in ids for j in ids if i < j]
+    edges.append((0, 10))
+    spark.createDataFrame(edges, "src long, dst long").write.parquet(
+        str(tmp_path / "edges")
+    )
+    out = str(tmp_path / "labels")
+    rc = main([
+        "communities", "--edges", str(tmp_path / "edges"),
+        "--levels", "2", "--rounds", "5", "--output", out,
+    ])
+    assert rc == 0
+    labels = {r["id"]: r["label"] for r in spark.read.parquet(out).collect()}
+    assert len(set(labels.values())) == 2
+    assert len({labels[i] for i in range(6)}) == 1
+    assert labels[0] != labels[10]
