@@ -463,6 +463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_contract_graph": lambda s, d: _q_contract_graph(s, d),
         "q_seed_spread": lambda s, d: _q_seed_spread(s, d),
         "q_bfs_tree": lambda s, d: _q_bfs_tree(s, d),
+        "q_coloring": lambda s, d: _q_coloring(s, d),
         "q_incremental_cc": lambda s, d: _q_incremental_cc(s, d),
         "q_graph_diff": lambda s, d: _q_graph_diff(s, d),
         "q_attack_curve": lambda s, d: _q_attack_curve(s, d),
@@ -2180,6 +2181,17 @@ def _q_incremental_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta = edges.filter((F.col("src") + F.col("dst")) % 3 == 0)
     prev = connected_components(spark, old).state
     return incremental_components(spark, prev, delta).state
+
+
+def _q_coloring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy Δ+1 vertex coloring by iterated Luby MIS (graph/mis.py
+    greedy_coloring) — like q_anf_hll this is the engine's other
+    deliberately rows-only contract: an unrolled SQL replay would nest
+    an MIS fixpoint per color; properness / Δ+1 bound / determinism are
+    pytest-verified (tests/test_mis.py TestGreedyColoring)."""
+    from plwordnet_spark.graph.mis import greedy_coloring
+
+    return greedy_coloring(spark, _struct_edges(spark, sf_dir))
 
 
 def _q_bfs_tree(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -40,7 +40,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["maximal_independent_set", "MIS_P", "MIS_A", "MIS_B"]
+__all__ = ["maximal_independent_set", "greedy_coloring", "MIS_P", "MIS_A", "MIS_B"]
 
 MIS_P = 2_147_483_647  # 2^31 − 1 (Mersenne prime)
 MIS_A = 1_103_515_245  # glibc LCG multiplier
@@ -136,3 +136,91 @@ def maximal_independent_set(
     out = out.localCheckpoint(eager=True)
     sym.unpersist()
     return out
+
+
+def greedy_coloring(
+    spark: SparkSession,
+    edges: DataFrame,
+    seed: int = 17,
+    max_colors: int = 256,
+) -> DataFrame:
+    """(id, color) — proper vertex coloring by ITERATED MIS (Luby's
+    reduction: color c = a maximal independent set of the still-
+    uncolored subgraph; remove; repeat). Proper by construction (an MIS
+    is independent), and uses at most Δ+1 colors: a vertex can only
+    survive a round because an uncolored NEIGHBOR entered that round's
+    MIS, each such neighbor burns a distinct color, and it has only Δ
+    of them. Colors are 0-based.
+
+    The classic symmetry-breaking application: schedule conflicting
+    work (recrawl same-host batches, mutually-linked page updates) in
+    Δ+1 waves where each wave is conflict-free — the scheduling dual of
+    the politeness slots in frontier.py. Deterministic for a fixed
+    (edge set, seed): each round reuses
+    :func:`maximal_independent_set` with a per-round seed offset.
+
+    Cost: Σ_c MIS(G_c) rounds of the usual gather traffic on a
+    SHRINKING graph — the first color consumes the bulk of the nodes on
+    sparse graphs, so the tail colors run on small remainders. No SQL
+    oracle (the unrolled replay would nest an MIS fixpoint per color);
+    the driver records the rows-only check and correctness rides on the
+    property tests (proper, ≤ Δ+1, deterministic).
+    """
+    sym = (
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+    )
+    sym = (
+        sym.unionByName(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    remaining_nodes = (
+        sym.select(F.col("u").alias("id")).distinct().localCheckpoint(eager=True)
+    )
+    rem_edges = sym.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).localCheckpoint(eager=True)
+    out: list[DataFrame] = []
+    for color in range(max_colors):
+        n_left = remaining_nodes.count()
+        if n_left == 0:
+            break
+        if rem_edges.limit(1).count() == 0:
+            # conflict-free remainder: one final color for everyone
+            mis = remaining_nodes.localCheckpoint(eager=True)
+        else:
+            mis = maximal_independent_set(
+                spark, rem_edges, seed=seed + color
+            ).select("id")
+            # isolated remainders (no surviving edges) join this MIS
+            mis = mis.unionByName(
+                remaining_nodes.join(
+                    rem_edges.select(F.col("src").alias("id")).distinct(),
+                    "id",
+                    "left_anti",
+                )
+            ).distinct().localCheckpoint(eager=True)
+        out.append(mis.select("id", F.lit(color).cast("integer").alias("color")))
+        remaining_nodes = remaining_nodes.join(
+            mis, "id", "left_anti"
+        ).localCheckpoint(eager=True)
+        rem_edges = (
+            rem_edges.join(
+                remaining_nodes.select(F.col("id").alias("src")), "src", "left_semi"
+            )
+            .join(
+                remaining_nodes.select(F.col("id").alias("dst")), "dst", "left_semi"
+            )
+            .localCheckpoint(eager=True)
+        )
+    else:
+        raise RuntimeError(
+            f"coloring did not finish within max_colors={max_colors}"
+        )
+    if not out:
+        return spark.createDataFrame([], "id long, color int")
+    res = out[0]
+    for part in out[1:]:
+        res = res.unionByName(part)
+    return res

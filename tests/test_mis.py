@@ -78,3 +78,46 @@ def test_mis_isolated_and_self_loop_nodes_join_round_one(spark):
     # node 1 (self-loop only) is independent; exactly one of {2, 3} wins
     assert got[1] == 1
     assert len({2, 3} & set(got)) == 1
+
+
+class TestGreedyColoring:
+    def _color(self, spark, edges, **kw):
+        from plwordnet_spark.graph.mis import greedy_coloring
+
+        df = spark.createDataFrame(edges, "src long, dst long")
+        return {
+            r["id"]: r["color"]
+            for r in greedy_coloring(spark, df, **kw).collect()
+        }
+
+    def test_proper_and_bounded_on_random_graph(self, spark):
+        import random
+        from collections import defaultdict
+
+        rng = random.Random(21)
+        edges = [(rng.randrange(30), rng.randrange(30)) for _ in range(70)]
+        edges = [(u, v) for u, v in edges if u != v]
+        got = self._color(spark, edges)
+        adj = defaultdict(set)
+        for u, v in edges:
+            adj[u].add(v)
+            adj[v].add(u)
+        # proper: no adjacent pair shares a color
+        for u, v in edges:
+            assert got[u] != got[v]
+        # every node colored; at most max-degree + 1 colors
+        assert set(got) == set(adj)
+        assert max(got.values()) <= max(len(s) for s in adj.values())
+
+    def test_deterministic(self, spark):
+        edges = [(i, (i + 1) % 9) for i in range(9)]
+        a = self._color(spark, edges, seed=3)
+        b = self._color(spark, edges, seed=3)
+        assert a == b
+
+    def test_bipartite_uses_two_colors_on_star(self, spark):
+        edges = [(0, i) for i in range(1, 8)]
+        got = self._color(spark, edges)
+        assert len(set(got.values())) == 2
+        assert len({got[i] for i in range(1, 8)}) == 1
+        assert got[0] != got[1]
