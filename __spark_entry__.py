@@ -407,6 +407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_katz": lambda s, d: _q_katz(s, d),
         "q_ktruss": lambda s, d: _q_ktruss(s, d),
         "q_pagerank_weighted": lambda s, d: _q_pagerank_weighted(s, d),
+        "q_host_pagerank": lambda s, d: _q_host_pagerank(s, d),
         "q_pagerank_personalized": lambda s, d: _q_pagerank_personalized(s, d),
         "q_label_propagation": lambda s, d: _q_label_propagation(s, d),
         "q_anf_hll": lambda s, d: _q_anf_hll(s, d),
@@ -1971,6 +1972,42 @@ def _q_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return project_to_hosts(edges, _host_map(spark, sf_dir))
 
 
+_HOST_PR_EDGES_SQL = f"""
+    SELECT s.host AS src, d.host AS dst, CAST(COUNT(*) AS DOUBLE) AS w
+    FROM ({_EDGE_SQL_DERIVATION}) e
+    JOIN ({_HOST_MAP_SQL.replace("FROM edges", f"FROM ({_EDGE_SQL_DERIVATION})")}) s
+      ON e.src = s.id
+    JOIN ({_HOST_MAP_SQL.replace("FROM edges", f"FROM ({_EDGE_SQL_DERIVATION})")}) d
+      ON e.dst = d.id
+    GROUP BY s.host, d.host
+"""
+
+
+def _q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level authority: weighted PageRank over the host-graph
+    projection — THE production page-quality prior (Common Crawl's
+    harmonic/host ranks operate at this granularity; spam_mass already
+    consumes it seeded). Composition of two independently verified
+    pieces (q_host_graph projection, q_pagerank_weighted power
+    iteration) pinned END-TO-END by one unrolled oracle over the same
+    projected edges — string node ids exercise the engine's
+    id-type-agnostic gather path."""
+    from plwordnet_spark.graph.hostgraph import project_to_hosts
+    from plwordnet_spark.graph.pagerank import pagerank
+
+    hg = project_to_hosts(
+        _derived_edges(spark, sf_dir), _host_map(spark, sf_dir)
+    ).select(
+        F.col("src_host").alias("src"),
+        F.col("dst_host").alias("dst"),
+        F.col("weight"),
+    )
+    res = pagerank(spark, hg, tol=0.0, max_iterations=_PR_ITERS, weighted=True)
+    return res.state.select(
+        F.col("id").alias("host"), F.round("rank", 8).alias("rank")
+    )
+
+
 def _q_intra_host_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nepotistic-link ratio per host (Davison-style link-farm signal)."""
     from plwordnet_spark.graph.hostgraph import intra_host_ratio
@@ -2380,6 +2417,8 @@ def _pagerank_oracle_sql(
     alpha: float = 0.85,
     weighted: bool = False,
     personalized: bool = False,
+    edges_sql: str | None = None,
+    id_alias: str | None = None,
 ) -> str:
     """Unrolled fixed-k power iteration: exact engine semantics —
     (out-)weight-normalized scatter, uniform or seed-set teleport,
@@ -2390,7 +2429,13 @@ def _pagerank_oracle_sql(
     # AS MATERIALIZED: without it DuckDB inlines each CTE at every
     # reference — r_k's expansion grows exponentially and re-opens the
     # parquet thousands of times (EMFILE)
-    if weighted:
+    if edges_sql is not None:
+        # caller-supplied WEIGHTED edge derivation (src, dst, w) — e.g.
+        # the host-graph projection for q_host_pagerank
+        edges_cte = f"WITH edges AS MATERIALIZED ({edges_sql})"
+        outd = "SELECT src AS id, SUM(w) AS od FROM edges GROUP BY src"
+        contrib = "SUM(r.rank * (e.w/o.od))"
+    elif weighted:
         edges_cte = f"WITH edges AS MATERIALIZED ({_WEIGHTED_EDGE_SQL_DERIVATION})"
         outd = "SELECT src AS id, SUM(w) AS od FROM edges GROUP BY src"
         contrib = "SUM(r.rank * (e.w/o.od))"
@@ -2436,7 +2481,10 @@ def _pagerank_oracle_sql(
             f"FROM edges e JOIN outd o ON e.src = o.id JOIN r{i} r ON r.id = e.src "
             f"GROUP BY e.dst) g ON {anchor}.id = g.id)"
         )
-    return ",\n".join(parts) + f"\nSELECT id, ROUND(rank, 8) AS rank FROM r{k}"
+    return ",\n".join(parts) + (
+        f"\nSELECT id{' AS ' + id_alias if id_alias else ''},"
+        f" ROUND(rank, 8) AS rank FROM r{k}"
+    )
 
 
 def _ktruss_oracle_sql(
@@ -5666,6 +5714,9 @@ def oracle_sql() -> dict[str, str]:
         "q_katz": _katz_oracle_sql(),
         "q_ktruss": _ktruss_oracle_sql(),
         "q_pagerank_weighted": _pagerank_oracle_sql(weighted=True),
+        "q_host_pagerank": _pagerank_oracle_sql(
+            edges_sql=_HOST_PR_EDGES_SQL, id_alias="host"
+        ),
         "q_pagerank_personalized": _pagerank_oracle_sql(personalized=True),
         "q_label_propagation": _lpa_oracle_sql(),
         "q_minhash_dup_pairs": _JACCARD_PAIRS_ORACLE,
