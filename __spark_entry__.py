@@ -474,6 +474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_path_rollup": lambda s, d: _q_path_rollup(s, d),
         "q_langid_confusion": lambda s, d: _q_langid_confusion(s, d),
         "q_vocab_richness": lambda s, d: _q_vocab_richness(s, d),
+        "q_zipf_vocab": lambda s, d: _q_zipf_vocab(s, d),
         "q_anomaly_days": lambda s, d: _q_anomaly_days(s, d),
         "q_skipgram": lambda s, d: _q_skipgram(s, d),
         "q_ppr_batch": lambda s, d: _q_ppr_batch(s, d),
@@ -4251,6 +4252,32 @@ def _q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_zipf_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf exponent of the corpus VOCABULARY (graph/stats.py
+    powerlaw_alpha over the term-frequency histogram, d_min=3): natural
+    text sits near alpha≈2 on this statistic; template spam and
+    generator output drift — the corpus-level twin of the graph's
+    degree exponent, same CSN continuous-MLE machinery."""
+    from plwordnet_spark.graph.stats import powerlaw_alpha
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(
+            F.filter(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+                lambda w: F.length(w) > 0,
+            )
+        ).alias("term")
+    )
+    hist = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .groupBy("freq")
+        .agg(F.count(F.lit(1)).alias("n_terms"))
+    )
+    return powerlaw_alpha(hist, value_col="freq", count_col="n_terms", d_min=3)
+
+
 def _q_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary-richness gate: per-doc type-token ratio and hapax
     fraction — keyword-stuffed spam has low TTR, lorem-ipsum generators
@@ -5195,6 +5222,22 @@ def oracle_sql() -> dict[str, str]:
                         WHEN pl >= en THEN 'pl' ELSE 'en' END AS predicted,
                    CAST(count(*) AS BIGINT) AS n
             FROM r GROUP BY 1, 2
+        """,
+        "q_zipf_vocab": f"""
+            WITH toks AS (
+                SELECT unnest({_WORDS_SQL}) AS term FROM documents
+            ),
+            tc AS (SELECT term, count(*) AS freq FROM toks GROUP BY term),
+            hist AS (
+                SELECT freq, CAST(count(*) AS BIGINT) AS n_terms
+                FROM tc GROUP BY freq
+            )
+            SELECT ROUND(
+                       1.0 + SUM(n_terms) / SUM(n_terms * LN(freq / 2.5)),
+                       6
+                   ) AS alpha,
+                   CAST(SUM(n_terms) AS BIGINT) AS n_tail
+            FROM hist WHERE freq >= 3
         """,
         "q_vocab_richness": f"""
             WITH toks AS (
