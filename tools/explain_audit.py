@@ -361,6 +361,36 @@ def main() -> int:
         "partial_sum" in plan_of(lnbr),
     )
 
+    # 23. z-order write layout: range partitioning on the Morton value
+    # with an in-partition sort — curve segments per file AND per row
+    # group (storage/zorder.py write_zordered's pre-write frame)
+    from plwordnet_spark.storage.zorder import z_value_expr
+
+    zgrid = spark.range(1024).select(
+        (F.col("id") % 32).alias("x"), (F.col("id") / 32).cast("long").alias("y")
+    )
+    zframe = (
+        zgrid.withColumn("_z", z_value_expr(["x", "y"], bits=5))
+        .repartitionByRange(8, "_z")
+        .sortWithinPartitions("_z")
+    )
+    zplan = plan_of(zframe)
+    check(
+        "z-order layout plans range-partition + in-partition sort on the Morton value",
+        "rangepartitioning(_z" in zplan.lower() and "Sort" in zplan,
+    )
+
+    # 24. count-min build: ONE explode + map-side partial count (the
+    # d×w grid is the only shuffled state)
+    from plwordnet_spark.sketches import cms_build
+
+    cplan = plan_of(cms_build(spark.range(100).select(F.col("id").alias("k")), "k"))
+    tree_c = cplan.split("\n\n")[0]
+    check(
+        "count-min build is one explode + partial-agg grid",
+        tree_c.count("Generate") == 1 and "partial_count" in cplan,
+    )
+
     print()
     print("=== sample plans ===")
     for title, p in (("pushdown", plan), ("gather", gplan)):
