@@ -48,6 +48,9 @@ def louvain_move_phase(
     edges: DataFrame,
     rounds: int = 6,
     weight_col: str | None = None,
+    checkpoint_dir: str | None = None,
+    checkpoint_interval: int = 2,
+    resume: bool = False,
 ) -> DataFrame:
     """edges(src, dst[, weight]) → (id, label) after ``rounds``
     synchronous modularity-gain move rounds (parity-alternating
@@ -58,7 +61,22 @@ def louvain_move_phase(
     move argmax (a node's self-loop stays internal wherever it goes),
     so they enter only through k_i and 2m. Integer weights keep the
     replay exact — fractional weights work but cross-engine replay then
-    rides on rounding."""
+    rides on rounding.
+
+    **Checkpoint/resume** (the delta-stepping/pagerank contract):
+    ``checkpoint_dir`` snapshots the label state every
+    ``checkpoint_interval`` rounds via
+    :class:`~plwordnet_spark.storage.snapshots.SnapshotStore`;
+    ``resume=True`` restarts from the latest snapshot's ABSOLUTE round
+    index, so the parity alternation — the determinism anchor — picks
+    up exactly where the killed run left off and the final labels equal
+    an uninterrupted run (tested). The adjacency/degree/2m inputs are
+    recomputed from ``edges`` on resume (same input ⇒ identical exact
+    aggregates).
+    """
+    from plwordnet_spark.storage.snapshots import SnapshotStore
+
+    store = SnapshotStore(spark, checkpoint_dir) if checkpoint_dir else None
     w = F.col(weight_col) if weight_col else F.lit(1.0)
     und_all = (
         edges.select(
@@ -97,11 +115,22 @@ def louvain_move_phase(
         deg.unpersist()
         return spark.createDataFrame([], "id long, label long")
 
-    labels = deg.select("id", F.col("id").alias("label")).localCheckpoint(
-        eager=True
-    )
+    start_round = 0
+    labels = None
+    if resume:
+        if store is None:
+            raise ValueError("resume requires a checkpoint_dir")
+        got = store.latest()
+        if got is not None:
+            snap, entry = got
+            labels = snap.select("id", "label")
+            start_round = int(entry["iteration"])
+    if labels is None:
+        labels = deg.select("id", F.col("id").alias("label")).localCheckpoint(
+            eager=True
+        )
     with loop_tuning(spark, n_adj):
-        for r in range(1, rounds + 1):
+        for r in range(start_round + 1, rounds + 1):
             tot = (
                 labels.join(deg, "id")
                 .groupBy(F.col("label").alias("c"))
@@ -167,6 +196,8 @@ def louvain_move_phase(
                 )
                 .localCheckpoint(eager=True)
             )
+            if store and (r % checkpoint_interval == 0 or r == rounds):
+                labels = store.write(labels, r, {"round": r})
     adj.unpersist()
     deg.unpersist()
     return labels

@@ -254,3 +254,46 @@ class TestMultiLevel:
             ),
         ).first()["modularity"]
         assert q2 >= q1 - 1e-9
+
+
+class TestCheckpointResume:
+    def test_kill_and_resume_matches_uninterrupted(self, spark, tmp_path):
+        import random
+
+        rng = random.Random(13)
+        edges = [(rng.randrange(24), rng.randrange(24)) for _ in range(80)]
+        edges = [(u, v) for u, v in edges if u != v]
+        df = spark.createDataFrame(edges, "src long, dst long")
+
+        full = {
+            r["id"]: r["label"]
+            for r in louvain_move_phase(spark, df, rounds=5).collect()
+        }
+        ckpt = str(tmp_path / "ck")
+        # "killed" run: only 2 of 5 rounds complete, snapshot at round 2
+        louvain_move_phase(
+            spark, df, rounds=2, checkpoint_dir=ckpt, checkpoint_interval=2
+        )
+        resumed = {
+            r["id"]: r["label"]
+            for r in louvain_move_phase(
+                spark, df, rounds=5, checkpoint_dir=ckpt, resume=True
+            ).collect()
+        }
+        assert resumed == full
+
+    def test_resume_with_empty_store_starts_cold(self, spark, tmp_path):
+        edges = [(0, 1), (1, 2), (2, 0)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        cold = {
+            r["id"]: r["label"]
+            for r in louvain_move_phase(spark, df, rounds=3).collect()
+        }
+        warm = {
+            r["id"]: r["label"]
+            for r in louvain_move_phase(
+                spark, df, rounds=3,
+                checkpoint_dir=str(tmp_path / "empty"), resume=True,
+            ).collect()
+        }
+        assert warm == cold
