@@ -131,10 +131,13 @@ def _pagerank_loop(
 
     out_w = edge_w.groupBy(F.col("src").alias("id")).agg(F.sum("w").alias("out_w"))
     # scatter share precomputed once; partitioned by src for the per-
-    # iteration rank join (no re-exchange of the big table per step)
-    scatter_base = edge_w.join(out_w.withColumnRenamed("id", "src"), "src").select(
-        "src", "dst", (F.col("w") / F.col("out_w")).alias("share")
-    )
+    # iteration rank join (no re-exchange of the big table per step).
+    # shuffle-hash hint: the default sort-merge would sort the FULL edge
+    # table once per pagerank() call just to attach a per-src scalar
+    # (guide §3.1); hashing the node-count-sized out_w side avoids it.
+    scatter_base = edge_w.join(
+        out_w.withColumnRenamed("id", "src").hint("shuffle_hash"), "src"
+    ).select("src", "dst", (F.col("w") / F.col("out_w")).alias("share"))
 
     # hot-src split (join path only — the CSR layout spreads a hub's
     # out-edges across buckets by construction): hot srcs' edges go to a
@@ -250,8 +253,16 @@ def _pagerank_loop(
 
     def _assemble(gathered: DataFrame, dm: float) -> DataFrame:
         """teleport + damped incoming → next rank vector; the uniform
-        path keeps the original scalar float-op order (oracle parity)."""
-        g = gathered.withColumnRenamed("dst", "id")
+        path keeps the original scalar float-op order (oracle parity).
+
+        The gathered side carries a shuffle-hash hint: the planner's
+        default here is a SortMergeJoin that re-sorts BOTH the node
+        universe and the gather output every iteration (guide §3.1 —
+        "pick the strategy deliberately"); hashing the gather output
+        (≤ one row per node) against the co-partitioned ids avoids both
+        sorts, and at cluster scale never tempts the planner into
+        broadcasting a node-count-sized vector."""
+        g = gathered.withColumnRenamed("dst", "id").hint("shuffle_hash")
         if pvec is None:
             base = (1.0 - alpha) / n_nodes + alpha * dm / n_nodes
             return ids.join(g, "id", "left").select(
@@ -277,7 +288,18 @@ def _pagerank_loop(
                 ranks.withColumn("part", adj.bucket_col(F.col("id")))
             )
             return _assemble(gathered, dm)
-        contribs = scatter.join(ranks.withColumnRenamed("id", "src"), "src")
+        # shuffle-hash hint on the rank side (guide §3.1): without it the
+        # planner either broadcasts the rank vector (measured at 24M
+        # edges: a 2.2M-row hashed relation built serially on the driver
+        # EVERY iteration — and a guaranteed driver OOM at 10^9 nodes) or
+        # falls back to sort-merge, re-sorting the cached scatter table
+        # each step. The hinted plan shuffles only the node-count-sized
+        # rank rows into the scatter table's existing partitioning and
+        # builds per-partition hash tables in parallel. Results are
+        # join-strategy-independent (same partials feed the gather sum).
+        contribs = scatter.join(
+            ranks.withColumnRenamed("id", "src").hint("shuffle_hash"), "src"
+        )
         if scatter_hot is not None:
             hot_ranks = ranks.withColumnRenamed("id", "src").join(
                 F.broadcast(hot_src_df), "src", "left_semi"
