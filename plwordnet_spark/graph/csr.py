@@ -82,11 +82,16 @@ def _load_block(adj_dir: str, bucket: int):
     # run-length offsets over sorted src ids (the CSR indptr analog)
     unique_src, start_idx = np.unique(src, return_index=True)
     offsets = np.append(start_idx, len(src))
+    # dst ids factorized ONCE at load: the per-iteration in-bucket
+    # combine is then a single bincount over small integer codes
+    # instead of a pandas hash-groupby over raw 64-bit ids per call
+    unique_dst, dst_codes = np.unique(dst, return_inverse=True)
     return {
         "unique_src": unique_src,
         "offsets": offsets,
-        "dst": dst,
         "share": share,
+        "unique_dst": unique_dst,
+        "dst_codes": dst_codes,
     }
 
 
@@ -167,10 +172,15 @@ class CsrAdjacency:
             counts = np.diff(block["offsets"])
             per_edge_rank = np.repeat(rank_of_src, counts)
             contrib = per_edge_rank * block["share"]
-            # in-bucket combine: sum per dst before the JVM shuffle
-            dst_series = pd.Series(contrib).groupby(block["dst"]).sum()
+            # in-bucket combine: one bincount over the pre-factorized dst
+            # codes sums per dst before the JVM shuffle (O(E) adds, no
+            # per-call hash-groupby machinery)
+            partial = np.bincount(
+                block["dst_codes"], weights=contrib,
+                minlength=len(block["unique_dst"]),
+            )
             return pd.DataFrame(
-                {"dst": dst_series.index.to_numpy(), "partial": dst_series.to_numpy()}
+                {"dst": block["unique_dst"], "partial": partial}
             )
 
         return (

@@ -168,7 +168,24 @@ def _pagerank_loop(
         if hot_src_df.count() == 0:
             hot_src_df.unpersist()
             hot_src_df = None
-    if hot_src_df is not None:
+    adj = None
+    tmp_workdir = None
+    scatter = None
+    if use_csr:
+        import tempfile
+
+        from plwordnet_spark.graph.csr import CsrAdjacency
+
+        if csr_workdir is None:
+            tmp_workdir = tempfile.mkdtemp(prefix="plwn_csr_")
+        workdir = csr_workdir or tmp_workdir
+        buckets = csr_buckets or spark.sparkContext.defaultParallelism
+        adj = CsrAdjacency(spark, workdir, buckets)
+        # stage straight from the share plan: the CSR loop never touches
+        # the scatter DataFrame again, so caching + materializing it
+        # first (the old path) paid one full extra pass over the edges
+        adj.stage(scatter_base)
+    elif hot_src_df is not None:
         scatter_hot = (
             scatter_base.join(F.broadcast(hot_src_df), "src", "left_semi")
             .repartition(spark.sparkContext.defaultParallelism)
@@ -180,23 +197,10 @@ def _pagerank_loop(
             .repartition("src")
             .cache()
         )
+        scatter.count()  # materialize before the loop
     else:
         scatter = scatter_base.repartition("src").cache()
-    scatter.count()  # materialize before the loop
-
-    adj = None
-    tmp_workdir = None
-    if use_csr:
-        import tempfile
-
-        from plwordnet_spark.graph.csr import CsrAdjacency
-
-        if csr_workdir is None:
-            tmp_workdir = tempfile.mkdtemp(prefix="plwn_csr_")
-        workdir = csr_workdir or tmp_workdir
-        buckets = csr_buckets or spark.sparkContext.defaultParallelism
-        adj = CsrAdjacency(spark, workdir, buckets)
-        adj.stage(scatter)
+        scatter.count()  # materialize before the loop
 
     dangling = ids.join(out_w, "id", "left_anti").withColumn(
         "_is_dangling", F.lit(True)
@@ -368,7 +372,8 @@ def _pagerank_loop(
             import shutil
 
             shutil.rmtree(tmp_workdir, ignore_errors=True)
-    scatter.unpersist()
+    if scatter is not None:
+        scatter.unpersist()
     if scatter_hot is not None:
         scatter_hot.unpersist()
     if hot_src_df is not None:
