@@ -57,20 +57,27 @@ def _unweighted_rel(edges: DataFrame, directed: bool) -> DataFrame:
     """Canonical unit-hop relaxation edges (u, v): reversed copies when
     undirected, self-loops dropped, deduped. Shared by bfs_distances and
     landmark_distances so the two hop-distance operators can never
-    diverge on edge semantics."""
+    diverge on edge semantics.
+
+    One shuffle, not two (guide §2.4): the repartition("u") runs FIRST
+    and the dedup groups on (u, v) partition-locally — hash(u)
+    partitioning satisfies the (u, v) clustering requirement, so the
+    distinct adds no exchange, and the output already carries the
+    hash(u) layout every relax join needs."""
     rel = edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
     if not directed:
         rel = rel.unionByName(
             edges.select(F.col("dst").alias("u"), F.col("src").alias("v"))
         )
-    return rel.filter("u != v").distinct()
+    return rel.filter("u != v").repartition("u").dropDuplicates(["u", "v"])
 
 
 def _weighted_rel(edges: DataFrame, weight_col: str, directed: bool) -> DataFrame:
     """Canonical weighted relaxation edges (u, v, w): double weights,
     reversed copies when undirected, self-loops dropped, parallel edges
     collapsed to their minimum weight. Shared by Bellman-Ford and
-    delta-stepping so the two can never diverge on edge semantics."""
+    delta-stepping so the two can never diverge on edge semantics.
+    Same single-shuffle layout discipline as :func:`_unweighted_rel`."""
     rel = edges.select(
         F.col("src").alias("u"), F.col("dst").alias("v"),
         F.col(weight_col).cast("double").alias("w"),
@@ -82,7 +89,12 @@ def _weighted_rel(edges: DataFrame, weight_col: str, directed: bool) -> DataFram
                 F.col(weight_col).cast("double").alias("w"),
             )
         )
-    return rel.filter("u != v").groupBy("u", "v").agg(F.min("w").alias("w"))
+    return (
+        rel.filter("u != v")
+        .repartition("u")
+        .groupBy("u", "v")
+        .agg(F.min("w").alias("w"))
+    )
 
 
 def _min_plus_loop(
@@ -122,12 +134,18 @@ def _min_plus_loop(
         frontier = state.filter(F.col("changed")).select(
             F.col("id").alias("u"), "dist"
         )
+        # shuffle-hash hints (guide §3.1): the planner's default turns
+        # both per-round joins into sort-merge — re-sorting the cached
+        # edge table AND the full state every round. Hashing the small
+        # side (the frontier, then the frontier-sized offer table)
+        # keeps both probes sort-free; min-gather results are
+        # join-strategy-independent.
         relaxed = (
-            rel.join(frontier, "u")
+            rel.join(frontier.hint("shuffle_hash"), "u")
             .groupBy(F.col("v").alias("id"))
             .agg(F.min(F.col("dist") + F.col("w")).alias("nbr_dist"))
         )
-        return state.join(relaxed, "id", "left").select(
+        return state.join(relaxed.hint("shuffle_hash"), "id", "left").select(
             "id",
             F.least(F.col("dist"), F.col("nbr_dist")).alias("dist"),
             (
@@ -177,7 +195,7 @@ def bfs_distances(
     rel = (
         _unweighted_rel(edges, directed)
         .withColumn("w", F.lit(1).cast("long"))
-        .repartition("u").cache()
+        .cache()  # already hash(u)-partitioned by _unweighted_rel
     )
     n_rel = rel.count()
     init = ids.join(
@@ -219,7 +237,7 @@ def landmark_distances(
     partition. ``checkpoint_dir`` enables durable resume via the runner
     (parity with :func:`bfs_distances`).
     """
-    rel = _unweighted_rel(edges, directed).repartition("u").cache()
+    rel = _unweighted_rel(edges, directed).cache()  # hash(u)-partitioned
     n_rel = rel.count()
     # restrict landmarks to the graph's node universe — a landmark id
     # absent from the edge set must not emit a phantom (lm, lm, 0) row
@@ -334,8 +352,10 @@ def delta_stepping_sssp(
     ids = _node_ids(edges, nodes)
 
     rel = _weighted_rel(edges, weight_col, directed)
-    light = rel.filter(F.col("w") <= F.lit(delta)).repartition("u").cache()
-    heavy = rel.filter(F.col("w") > F.lit(delta)).repartition("u").cache()
+    # the light/heavy filters preserve _weighted_rel's hash(u) layout, so
+    # no re-exchange is needed on either slice
+    light = rel.filter(F.col("w") <= F.lit(delta)).cache()
+    heavy = rel.filter(F.col("w") > F.lit(delta)).cache()
     n_light = light.count()
     n_heavy = heavy.count()
 
@@ -523,7 +543,7 @@ def sssp_distances(
     between the two on one edge table keeps the same graph."""
     src_ids = _source_ids(spark, sources)
     ids = _node_ids(edges, nodes)
-    rel = _weighted_rel(edges, weight_col, directed).repartition("u").cache()
+    rel = _weighted_rel(edges, weight_col, directed).cache()  # hash(u)-partitioned
     n_rel = rel.count()
     init = ids.join(
         src_ids.withColumn("dist", F.lit(0.0)), "id", "left"

@@ -40,6 +40,8 @@ def _symmetrize(edges: DataFrame) -> DataFrame:
 
 
 def _large_star(e: DataFrame) -> DataFrame:
+    # shuffle-hash hint on the node-sized min table (guide §3.1): the
+    # default sort-merge re-sorts the edge-sized sym side every round
     sym = e.select("u", "v").unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     m = (
         sym.groupBy("u")
@@ -47,7 +49,7 @@ def _large_star(e: DataFrame) -> DataFrame:
         .select("u", F.least("mv", "u").alias("m"))
     )
     return (
-        sym.join(m, "u")
+        sym.join(m.hint("shuffle_hash"), "u")
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .filter("u != v")
@@ -60,7 +62,9 @@ def _small_star(e: DataFrame) -> DataFrame:
         F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
     )
     m = oriented.groupBy("u").agg(F.min("v").alias("m"))  # all v ≤ u here
-    linked = oriented.join(m, "u").select(F.col("v").alias("u"), F.col("m").alias("v"))
+    linked = oriented.join(m.hint("shuffle_hash"), "u").select(
+        F.col("v").alias("u"), F.col("m").alias("v")
+    )
     self_link = m.select("u", F.col("m").alias("v"))
     return linked.unionByName(self_link).filter("u != v").distinct()
 
@@ -101,6 +105,12 @@ def connected_components(
         .cache()
     )
     und = _symmetrize(edges)
+    # NOTE (r6, measured): unlike the node-state loops, CC deliberately
+    # keeps AQE + session shuffle widths. Its state is the EDGE set and
+    # shrinks every round, so AQE's runtime coalescing is load-bearing —
+    # a variant sweep (hint × AQE × partitions, OPTIMIZATION_r06.md)
+    # showed fixed 32-partition/no-AQE rounds 2× slower and a
+    # loop_tuning-style narrow fixed width no better than AQE.
 
     if method == "hashmin":
         result = _hashmin(spark, und, ids, max_iterations, checkpoint_dir, checkpoint_interval)
@@ -168,12 +178,14 @@ def _hashmin(
     init = ids.select("id", F.col("id").alias("component"))
 
     def step(comp: DataFrame) -> DataFrame:
+        # node-sized sides hash-joined (no per-round sort of the cached
+        # edge table / label state — same rationale as the star steps)
         nbr_min = (
-            sym.join(comp.withColumnRenamed("id", "v"), "v")
+            sym.join(comp.withColumnRenamed("id", "v").hint("shuffle_hash"), "v")
             .groupBy(F.col("u").alias("id"))
             .agg(F.min("component").alias("nbr"))
         )
-        return comp.join(nbr_min, "id", "left").select(
+        return comp.join(nbr_min.hint("shuffle_hash"), "id", "left").select(
             "id", F.least(F.col("component"), F.coalesce("nbr", "component")).alias("component")
         )
 
