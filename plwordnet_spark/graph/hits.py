@@ -59,10 +59,16 @@ def hits(
             converged=True,
         )
     links = (
-        edges.select("src", "dst").filter("src != dst").distinct()
-        .repartition("src").cache()
+        edges.select("src", "dst").filter("src != dst")
+        .repartition("src").dropDuplicates(["src", "dst"]).cache()
     )
     n_links = links.count()
+    # second copy of the edge cache laid out for the hub gather: the
+    # auth→hub half-round joins on dst, and without this the src-
+    # partitioned cache was re-exchanged by dst EVERY iteration
+    # (guide §2.4 — two operations keyed differently, one layout each)
+    links_by_dst = links.repartition("dst").cache()
+    links_by_dst.count()
 
     # state carries HUB ONLY: authority is an intermediate inside each
     # step and is derived once from the final hub after the loop. A
@@ -70,6 +76,14 @@ def hits(
     # step (once feeding hub_raw, once carried to the output), and
     # Catalyst does not reuse those subtrees — measured 2× per-iteration
     # aggregation work.
+    #
+    # The LOOP state is SPARSE (r6): rows exist only for nodes the
+    # gathers can reach (nonzero-able entries). A node absent from the
+    # state contributed exactly 0.0 to every sum in the old dense plan
+    # (x + 0.0 = x in IEEE), so all values are unchanged — but each
+    # half-round drops its node-universe fill join, removing two
+    # node-sized exchanges per iteration. The dense (id, hub, authority)
+    # vector is assembled ONCE after the loop.
     init = ids.select("id", F.lit(1.0 / n_nodes).alias("hub"))
 
     # Each half-round's raw gather is persist()ed so the broadcast-norm
@@ -92,13 +106,12 @@ def hits(
             df.unpersist()
         pending_caches.clear()
 
-    def _l2_normalized(full: DataFrame, col: str, raw: DataFrame) -> DataFrame:
-        # the norm is computed from the (cached) pre-join gather output:
-        # nodes absent from it are exactly the coalesce-to-0.0 rows, which
-        # contribute nothing to an L2 norm
+    def _l2_normalized(raw: DataFrame, col: str) -> DataFrame:
+        # one-row norm aggregate broadcast back onto the (cached) gather
+        # output — the driver never collects a vector
         norm = raw.agg(F.sqrt(F.sum(F.col(col) * F.col(col))).alias("_n"))
         return (
-            full.crossJoin(F.broadcast(norm))
+            raw.crossJoin(F.broadcast(norm))
             .withColumn(
                 col,
                 F.when(F.col("_n") > 0, F.col(col) / F.col("_n")).otherwise(F.lit(0.0)),
@@ -107,17 +120,21 @@ def hits(
         )
 
     def _auth_of(hub_state: DataFrame) -> DataFrame:
+        # sparse: (id, authority) rows only for nodes with ≥1 in-link
+        # from a state row; everything else is an exact 0.0 both here
+        # and in the dense formulation. shuffle-hash hint keeps the
+        # cached edge side sort-free (guide §3.1).
         raw = _mark(
             links.join(
-                hub_state.select(F.col("id").alias("src"), "hub"), "src"
+                hub_state.select(F.col("id").alias("src"), "hub").hint(
+                    "shuffle_hash"
+                ),
+                "src",
             )
             .groupBy(F.col("dst").alias("id"))
             .agg(F.sum("hub").alias("authority"))
         )
-        full = ids.join(raw, "id", "left").select(
-            "id", F.coalesce("authority", F.lit(0.0)).alias("authority")
-        )
-        return _l2_normalized(full, "authority", raw)
+        return _l2_normalized(raw, "authority")
 
     def step(hub_state: DataFrame) -> DataFrame:
         _release_caches()  # previous iteration's state is materialized
@@ -126,22 +143,31 @@ def hits(
         # full node vector per iteration for zero reuse
         auth = _auth_of(hub_state)
         hub_raw = _mark(
-            links.join(
-                auth.select(F.col("id").alias("dst"), "authority"), "dst"
+            links_by_dst.join(
+                auth.select(F.col("id").alias("dst"), "authority").hint(
+                    "shuffle_hash"
+                ),
+                "dst",
             )
             .groupBy(F.col("src").alias("id"))
             .agg(F.sum("authority").alias("hub"))
         )
-        hub = ids.join(hub_raw, "id", "left").select(
-            "id", F.coalesce("hub", F.lit(0.0)).alias("hub")
-        )
-        return _l2_normalized(hub, "hub", hub_raw)
+        return _l2_normalized(hub_raw, "hub")
 
     def delta(old: DataFrame, new: DataFrame) -> float:
+        # full outer + coalesce: sparse states still yield the DENSE
+        # vectors' L1 difference (missing row ≡ exact 0.0)
         return float(
             old.select("id", F.col("hub").alias("h0"))
-            .join(new.select("id", "hub"), "id")
-            .agg(F.sum(F.abs(F.col("hub") - F.col("h0"))))
+            .join(new.select("id", "hub"), "id", "full")
+            .agg(
+                F.sum(
+                    F.abs(
+                        F.coalesce(F.col("hub"), F.lit(0.0))
+                        - F.coalesce(F.col("h0"), F.lit(0.0))
+                    )
+                )
+            )
             .first()[0]
         )
 
@@ -159,12 +185,22 @@ def hits(
         # iteration is exactly one materializing job
         res = runner.run(init, step, delta if tol > 0 else None)
         _release_caches()
-        state = res.state.join(_auth_of(res.state), "id").select(
-            "id", "hub", "authority"
-        ).localCheckpoint(eager=True)  # materialize INSIDE the tuned block
+        # ONE dense fill over the node universe, after the loop: sparse
+        # hub/authority rows land on ids, absences are exact 0.0s
+        state = (
+            ids.join(res.state, "id", "left")
+            .join(_auth_of(res.state), "id", "left")
+            .select(
+                "id",
+                F.coalesce("hub", F.lit(0.0)).alias("hub"),
+                F.coalesce("authority", F.lit(0.0)).alias("authority"),
+            )
+            .localCheckpoint(eager=True)
+        )  # materialize INSIDE the tuned block
         # (configs apply at action time) and before releasing caches
         _release_caches()
     links.unpersist()
+    links_by_dst.unpersist()
     ids.unpersist()
     return PregelResult(
         state=state, iterations=res.iterations, converged=res.converged,
