@@ -113,7 +113,15 @@ def build_graph(
         .withColumn("is_hub", F.col("in_degree") >= F.lit(hub_degree_threshold))
     )
 
-    hubs = nodes.filter("is_hub").select(F.col("id").alias("dst"))
+    # hub dst set computed straight from the in-degree aggregate: every
+    # in_deg id IS a dst node id, so this equals nodes.filter(is_hub)
+    # exactly — but the edge table's plan no longer drags in the whole
+    # node pipeline (urls-distinct + two degree joins) just to learn
+    # which dst ids are hubs (guide §2.4: don't compute what the
+    # consumer throws away)
+    hubs = in_deg.filter(
+        F.col("in_degree") >= F.lit(hub_degree_threshold)
+    ).select(F.col("id").alias("dst"))
     # broadcast: the hub set is tiny by construction (tail of the degree
     # distribution); the join only tags edges, no shuffle of the edge table
     edges = (
