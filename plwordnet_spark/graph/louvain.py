@@ -136,11 +136,16 @@ def louvain_move_phase(
                 .groupBy(F.col("label").alias("c"))
                 .agg(F.sum("k").alias("t"))
             )
+            # shuffle-hash hint on the label side only (guide §3.1): the
+            # checkpointed label state has no size estimate, so the
+            # planner falls back to sort-merge and re-sorts the cached
+            # adjacency every round; deg/tot joins below stay unhinted —
+            # they are cached/known-small and already broadcast
             nbr = (
                 adj.join(
                     labels.select(
                         F.col("id").alias("j"), F.col("label").alias("c")
-                    ),
+                    ).hint("shuffle_hash"),
                     "j",
                 )
                 .groupBy(F.col("i").alias("id"), "c")
@@ -153,7 +158,7 @@ def louvain_move_phase(
                 nbr.unionByName(own)
                 .groupBy("id", "c")
                 .agg(F.sum("kic").alias("kic"))
-                .join(labels, "id")
+                .join(labels.hint("shuffle_hash"), "id")
                 .join(deg, "id")
                 .join(tot, "c")
                 .select(
