@@ -70,9 +70,20 @@ def k_core(
             .agg(F.count(F.lit(1)).alias("dg"))
         )
         good = deg.filter(F.col("dg") >= k).select("id")
+        # shuffle-hash hints (guide §3.1): the surviving-node set derives
+        # from the checkpointed edge state (no size estimate), so the
+        # planner otherwise sort-merges BOTH semi joins, re-sorting the
+        # edge state twice per peel round; hashing the node-sized side
+        # keeps the edge probes sort-free
         return (
-            e.join(good.withColumnRenamed("id", "a"), "a", "left_semi")
-            .join(good.withColumnRenamed("id", "b"), "b", "left_semi")
+            e.join(
+                good.withColumnRenamed("id", "a").hint("shuffle_hash"),
+                "a", "left_semi",
+            )
+            .join(
+                good.withColumnRenamed("id", "b").hint("shuffle_hash"),
+                "b", "left_semi",
+            )
             .select("a", "b")
         )
 
