@@ -215,9 +215,14 @@ def greedy_coloring(
             .localCheckpoint(eager=True)
         )
     else:
-        raise RuntimeError(
-            f"coloring did not finish within max_colors={max_colors}"
-        )
+        # for/else: the loop ran out of colors without an early break.
+        # That is only a failure if nodes remain — a coloring that used
+        # EXACTLY max_colors empties the set on the final iteration and
+        # must not raise (ADVICE r5).
+        if remaining_nodes.limit(1).count() != 0:
+            raise RuntimeError(
+                f"coloring did not finish within max_colors={max_colors}"
+            )
     if not out:
         return spark.createDataFrame([], "id long, color int")
     res = out[0]

@@ -61,15 +61,16 @@ def wl_labels(
     """
     e = edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
     if not directed:
+        # reverse the FILTERED edges (ADVICE r5): reversing the raw input
+        # let self-loops re-enter as (x, x), feeding a node its own label
+        # — inconsistent with directed mode and the oracle's u <> v filter
         e = e.unionByName(
-            edges.select(
-                F.col("dst").alias("src"), F.col("src").alias("dst")
-            )
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
     rel = (
-        e.distinct()
-        .select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        e.select(F.col("src").alias("u"), F.col("dst").alias("v"))
         .repartition("u")
+        .dropDuplicates(["u", "v"])
         .cache()
     )
     n_rel = rel.count()

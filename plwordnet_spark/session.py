@@ -29,9 +29,26 @@ def _ship_package(spark: SparkSession) -> None:
     """Ship this package to executors — the local-mode equivalent of
     ``spark-submit --py-files`` (north rule launch mode). Without it,
     pandas-UDF workers started from another CWD can't unpickle functions
-    defined in this package."""
+    defined in this package.
+
+    The zip name carries a content token (package path + newest .py
+    mtime), not just the pid: a pid-only name let a pid-recycled process
+    from a different checkout (or an edited tree) reuse a stale zip and
+    silently ship OLD worker code — observed as a cross-version
+    KeyError in the CSR gather during r6 A/B measurement."""
+    import hashlib
+
+    newest = 0.0
+    for root, _dirs, files in os.walk(_PACKAGE_DIR):
+        for name in files:
+            if name.endswith(".py"):
+                try:
+                    newest = max(newest, os.path.getmtime(os.path.join(root, name)))
+                except OSError:
+                    pass
+    token = hashlib.sha256(f"{_PACKAGE_DIR}:{newest}".encode()).hexdigest()[:12]
     zip_path = os.path.join(
-        tempfile.gettempdir(), f"plwordnet_spark_pyfiles_{os.getpid()}.zip"
+        tempfile.gettempdir(), f"plwordnet_spark_pyfiles_{os.getpid()}_{token}.zip"
     )
     if not os.path.exists(zip_path):
         with zipfile.ZipFile(zip_path, "w") as zf:
