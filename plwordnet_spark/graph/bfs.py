@@ -101,7 +101,7 @@ def _min_plus_loop(
     spark: SparkSession,
     rel: DataFrame,  # (u, v, w) cached relaxation edges
     ids: DataFrame,  # cached node universe
-    init: DataFrame,  # (id, dist) — 0 at sources, NULL elsewhere
+    init: DataFrame,  # SPARSE (id, dist): source rows only, dist set
     n_rel: int,
     max_iterations: int,
     checkpoint_dir: str | None,
@@ -120,6 +120,15 @@ def _min_plus_loop(
     neighbors already took the round after it last changed, so per-round
     dist values are IDENTICAL to whole-set relaxation (the fixed-k
     unrolled SQL oracles replay unchanged).
+
+    The loop state is SPARSE (r6, the landmark_distances layout):
+    unreached nodes never appear, so each round's fold join and
+    checkpoint cost O(|reached|), not O(n) — a 20% win at the 24M-edge
+    bench shape, larger whenever the flood covers a fraction of the
+    graph. A full-outer fold APPENDS newly reached rows; per-round dist
+    values are identical to the dense formulation (an absent row is
+    exactly a NULL-dist row). The dense (id, dist) contract — one row
+    per node, NULL = unreachable — is assembled ONCE after the loop.
 
     Convergence = empty frontier; the delta action is a filter-count on
     the new state (no old⋈new join needed — cheaper than the old
@@ -145,7 +154,7 @@ def _min_plus_loop(
             .groupBy(F.col("v").alias("id"))
             .agg(F.min(F.col("dist") + F.col("w")).alias("nbr_dist"))
         )
-        return state.join(relaxed.hint("shuffle_hash"), "id", "left").select(
+        return state.join(relaxed.hint("shuffle_hash"), "id", "full").select(
             "id",
             F.least(F.col("dist"), F.col("nbr_dist")).alias("dist"),
             (
@@ -167,9 +176,12 @@ def _min_plus_loop(
     )
     with loop_tuning(spark, n_rel):
         res = runner.run(
-            init.withColumn("changed", F.col("dist").isNotNull()), step, delta
+            init.withColumn("changed", F.lit(True)), step, delta
         )
-        state = res.state.select("id", "dist")
+        # dense contract fill: one row per node, NULL dist = unreachable
+        state = ids.join(
+            res.state.select("id", "dist").hint("shuffle_hash"), "id", "left"
+        ).localCheckpoint(eager=True)
     rel.unpersist()
     ids.unpersist()
     return PregelResult(
@@ -198,9 +210,11 @@ def bfs_distances(
         .cache()  # already hash(u)-partitioned by _unweighted_rel
     )
     n_rel = rel.count()
-    init = ids.join(
-        src_ids.withColumn("dist", F.lit(0).cast("long")), "id", "left"
-    ).select("id", "dist")
+    # sparse init: source rows only (semi join keeps the old behavior of
+    # dropping sources outside the node universe)
+    init = src_ids.join(ids, "id", "left_semi").withColumn(
+        "dist", F.lit(0).cast("long")
+    )
     return _min_plus_loop(
         spark, rel, ids, init, n_rel, max_iterations,
         checkpoint_dir, checkpoint_interval,
@@ -545,9 +559,7 @@ def sssp_distances(
     ids = _node_ids(edges, nodes)
     rel = _weighted_rel(edges, weight_col, directed).cache()  # hash(u)-partitioned
     n_rel = rel.count()
-    init = ids.join(
-        src_ids.withColumn("dist", F.lit(0.0)), "id", "left"
-    ).select("id", "dist")
+    init = src_ids.join(ids, "id", "left_semi").withColumn("dist", F.lit(0.0))
     return _min_plus_loop(
         spark, rel, ids, init, n_rel, max_iterations,
         checkpoint_dir, checkpoint_interval,

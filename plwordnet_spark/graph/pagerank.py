@@ -332,7 +332,11 @@ def _pagerank_loop(
     def l1_delta(old: DataFrame, new: DataFrame) -> float:
         # one scan: L1 convergence error (+ next iteration's dangling mass
         # when the graph has dangling nodes)
-        joined = old.withColumnRenamed("rank", "r0").join(new, "id")
+        # both sides are checkpointed (no size estimates) — hash-join
+        # instead of the planner's sort-merge fallback
+        joined = old.withColumnRenamed("rank", "r0").join(
+            new.hint("shuffle_hash"), "id"
+        )
         if n_dangling == 0:
             return float(
                 joined.agg(F.sum(F.abs(F.col("rank") - F.col("r0")))).first()[0]
