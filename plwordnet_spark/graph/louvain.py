@@ -160,7 +160,7 @@ def louvain_move_phase(
                 .agg(F.sum("kic").alias("kic"))
                 .join(labels.hint("shuffle_hash"), "id")
                 .join(deg, "id")
-                .join(tot, "c")
+                .join(tot.hint("shuffle_hash"), "c")
                 .select(
                     "id",
                     "c",
@@ -192,7 +192,7 @@ def louvain_move_phase(
             )
             active = F.pmod(F.col("id"), F.lit(2)) == F.lit((r - 1) % 2)
             labels = (
-                labels.join(pick, "id")
+                labels.join(pick.hint("shuffle_hash"), "id")
                 .select(
                     "id",
                     F.when(active, F.col("best"))
