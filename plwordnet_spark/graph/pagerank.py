@@ -180,7 +180,7 @@ def _pagerank_loop(
             tmp_workdir = tempfile.mkdtemp(prefix="plwn_csr_")
         workdir = csr_workdir or tmp_workdir
         buckets = csr_buckets or spark.sparkContext.defaultParallelism
-        adj = CsrAdjacency(spark, workdir, buckets)
+        adj = CsrAdjacency(spark, workdir, buckets, n_rows_hint=n_nodes)
         # stage straight from the share plan: the CSR loop never touches
         # the scatter DataFrame again, so caching + materializing it
         # first (the old path) paid one full extra pass over the edges
