@@ -73,17 +73,20 @@ def _cache_put(adj_dir: str, token: str, bucket: int, block) -> None:
     _CSR_CACHE[(adj_dir, token, bucket)] = block
 
 
-def _load_block(adj_dir: str, bucket: int):
+def _load_block(adj_dir: str, bucket: int, token: str):
     """Load one bucket's CSR block.
 
-    Fast path: a pre-processed ``block_<b>.npz`` side file (plain
-    ``np.load``). Miss path: read the bucket's staged parquet, build
-    the block, and publish the npz side file (atomic rename) so every
-    LATER cache miss — any worker, any iteration — skips the
-    sort/factorize preprocessing. The side files live inside the staged
-    directory, so a re-stage (parquet overwrite) clears them with it.
+    Fast path: a pre-processed ``block_<b>_<token>.npz`` side file
+    (plain ``np.load``). Miss path: read the bucket's staged parquet,
+    build the block, and publish the npz side file (atomic rename) so
+    every LATER cache miss — any worker, any iteration — skips the
+    sort/factorize preprocessing. The stage token is part of the file
+    name so a re-stage can never serve a stale side file — the default
+    STATIC parquet overwrite clears the directory anyway, but a
+    session running dynamic partition overwrite would leave loose
+    files behind.
     """
-    npz_path = os.path.join(adj_dir, f"block_{bucket}.npz")
+    npz_path = os.path.join(adj_dir, f"block_{bucket}_{token}.npz")
     if os.path.exists(npz_path):
         with np.load(npz_path) as z:
             return {k: z[k] for k in _BLOCK_KEYS}
@@ -291,7 +294,7 @@ class CsrAdjacency:
                 key = (adj_dir, token, bucket)
                 block = _CSR_CACHE.get(key)
                 if block is None:
-                    block = _load_block(adj_dir, bucket)
+                    block = _load_block(adj_dir, bucket, token)
                     _cache_put(
                         adj_dir, token, bucket, block if block is not None else "empty"
                     )
