@@ -38,7 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from plwordnet_spark.graph.pregel import loop_tuning
+from plwordnet_spark.graph.pregel import loop_tuning, tuned_width
 
 __all__ = ["louvain_move_phase", "contract_graph", "louvain"]
 
@@ -89,15 +89,12 @@ def louvain_move_phase(
         .cache()
     )
     und = und_all.filter(F.col("a") != F.col("b"))
-    adj = (
-        und.select(F.col("a").alias("i"), F.col("b").alias("j"), "w")
-        .unionByName(und.select(F.col("b").alias("i"), F.col("a").alias("j"), "w"))
-        .repartition("i")
-        .cache()
+    bidir = und.select(F.col("a").alias("i"), F.col("b").alias("j"), "w").unionByName(
+        und.select(F.col("b").alias("i"), F.col("a").alias("j"), "w")
     )
-    n_adj = adj.count()
+    n_adj = 2 * und.count()
     deg = (
-        adj.select(F.col("i").alias("id"), F.col("w").alias("k2"))
+        bidir.select(F.col("i").alias("id"), F.col("w").alias("k2"))
         .unionByName(
             und_all.filter(F.col("a") == F.col("b")).select(
                 F.col("a").alias("id"), (F.lit(2.0) * F.col("w")).alias("k2")
@@ -108,6 +105,21 @@ def louvain_move_phase(
         .cache()
     )
     deg.count()
+    # the adjacency carries the static degree k of its SOURCE endpoint
+    # (one join, once) and is cached partitioned by j at EXACTLY the
+    # loop's shuffle width — the per-round labels join on j then reuses
+    # the cached layout with zero adjacency exchange (guide §2.4), and
+    # carrying k here is what lets the round drop its per-round
+    # node-attach join (see the loop comment below)
+    width = tuned_width(spark, n_adj)
+    adj = (
+        bidir.join(
+            deg.select(F.col("id").alias("i"), "k").hint("shuffle_hash"), "i"
+        )
+        .repartition(width, "j")
+        .cache()
+    )
+    adj.count()
     und_all.unpersist()
     m2 = float(deg.agg(F.sum("k")).first()[0] or 0.0)
     if m2 == 0.0:
@@ -136,43 +148,68 @@ def louvain_move_phase(
                 .groupBy(F.col("label").alias("c"))
                 .agg(F.sum("k").alias("t"))
             )
-            # shuffle-hash hint on the label side only (guide §3.1): the
-            # checkpointed label state has no size estimate, so the
-            # planner falls back to sort-merge and re-sorts the cached
-            # adjacency every round; deg/tot joins below stay unhinted —
-            # they are cached/known-small and already broadcast
-            nbr = (
-                adj.join(
-                    labels.select(
-                        F.col("id").alias("j"), F.col("label").alias("c")
-                    ).hint("shuffle_hash"),
-                    "j",
-                )
-                .groupBy(F.col("i").alias("id"), "c")
-                .agg(F.sum("w").alias("kic"))
+            # ONE merged gather (round-6 rework; measured at 24M edges —
+            # the old shape moved the ~edge-count candidate table through
+            # FIVE exchanges per round: nbr agg, a re-agg after the
+            # own-row union, a labels attach by id, the tot attach by c,
+            # and the argmax window). Three structural changes, all
+            # result-exact for the integer-valued weights the replay
+            # contract assumes (extra +0.0 rows and regrouped exact sums
+            # cannot change a value; max(k) over a constant-per-id
+            # column equals the joined k; the is_own flag IS the old
+            # c == label predicate because exactly the own rows carry
+            # it):
+            # 1. own-community rows (kic=0, flag=1) union INTO the one
+            #    gather aggregation — no second agg, and max(flag)
+            #    replaces the per-round labels re-attach by id;
+            # 2. the adjacency already carries k — no per-round deg
+            #    join;
+            # 3. the labels join keys on j against the j-partitioned
+            #    cached adjacency at the loop's exact width — zero
+            #    adjacency exchange (hint per guide §3.1: the
+            #    checkpointed label side has no size estimate).
+            # tot stays shuffle-hash-hinted: round 1's community table
+            # is node-count-sized, a broadcast there is the driver-OOM
+            # shape at cluster scale.
+            edge_rows = adj.join(
+                labels.select(
+                    F.col("id").alias("j"), F.col("label").alias("c")
+                ).hint("shuffle_hash"),
+                "j",
+            ).select(
+                F.col("i").alias("id"),
+                "c",
+                F.col("w").alias("kic"),
+                "k",
+                F.lit(0).alias("own"),
             )
-            own = labels.select(
-                "id", F.col("label").alias("c"), F.lit(0.0).alias("kic")
+            own_rows = labels.join(deg, "id").select(
+                "id",
+                F.col("label").alias("c"),
+                F.lit(0.0).alias("kic"),
+                "k",
+                F.lit(1).alias("own"),
             )
             cand = (
-                nbr.unionByName(own)
+                edge_rows.unionByName(own_rows)
                 .groupBy("id", "c")
-                .agg(F.sum("kic").alias("kic"))
-                .join(labels.hint("shuffle_hash"), "id")
-                .join(deg, "id")
+                .agg(
+                    F.sum("kic").alias("kic"),
+                    F.max("k").alias("k"),
+                    F.max("own").alias("own"),
+                )
                 .join(tot.hint("shuffle_hash"), "c")
                 .select(
                     "id",
                     "c",
-                    "label",
                     (
                         F.col("kic")
                         - F.col("k")
                         * (
                             F.col("t")
-                            - F.when(
-                                F.col("c") == F.col("label"), F.col("k")
-                            ).otherwise(F.lit(0.0))
+                            - F.when(F.col("own") == 1, F.col("k")).otherwise(
+                                F.lit(0.0)
+                            )
                         )
                         / F.lit(m2)
                     ).alias("score"),

@@ -42,6 +42,18 @@ __all__ = ["PregelRunner", "PregelResult", "loop_tuning"]
 _ROWS_PER_PARTITION = 50_000
 
 
+def tuned_width(spark: SparkSession, n_rows: int) -> int:
+    """The shuffle width :func:`loop_tuning` will run ``n_rows`` under —
+    lets a loop cache its big sides pre-partitioned to EXACTLY the
+    loop's width so the per-round joins reuse the cached layout instead
+    of re-exchanging it (guide §2.4: two operations keyed the same way
+    share one exchange only when the partition counts match)."""
+    default_par = spark.sparkContext.defaultParallelism
+    if n_rows < default_par * _ROWS_PER_PARTITION:
+        return max(4, min(default_par, n_rows // _ROWS_PER_PARTITION + 1))
+    return int(spark.conf.get("spark.sql.shuffle.partitions", str(default_par)))
+
+
 @contextmanager
 def loop_tuning(spark: SparkSession, n_rows: int | None):
     """Temporarily tune the session for a small-state iteration loop.
