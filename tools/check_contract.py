@@ -6,6 +6,17 @@ and an order-insensitive value hash (columns sorted by name, rows
 sorted, values stringified with float normalization).
 
 Usage: python tools/check_contract.py [sf_dir] [query_name ...]
+       python tools/check_contract.py [sf_dir] --shard I/N
+
+Sharded mode (VERDICT r5 #8 — keep the inner loop usable as the query
+count grows): ``--shard I/N`` runs the deterministic I-th of N slices
+of the query list (round-robin by sorted position, so every shard gets
+a mix of heavy and light queries). Launch N processes with I=0..N-1 —
+each builds its own SparkSession + DuckDB, so shards are fully
+independent; a shard's exit code is 0 iff its slice has no failures.
+Measured on this host: N=3 concurrent shards of the 167-query sf0.01
+run finish in 278 s wall (56+56+55 queries, 0 failures per shard) vs
+~17 min for the same-day single-process run.
 """
 
 from __future__ import annotations
@@ -53,9 +64,17 @@ def value_hash(rows: list[dict]) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
-    spark = get_spark(app_name="contract-check")
+    args = sys.argv[1:]
+    shard_i, shard_n = 0, 1
+    if "--shard" in args:
+        at = args.index("--shard")
+        shard_i, shard_n = (int(x) for x in args[at + 1].split("/"))
+        if not (0 <= shard_i < shard_n):
+            raise SystemExit(f"--shard {shard_i}/{shard_n}: need 0 <= I < N")
+        del args[at : at + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+    spark = get_spark(app_name=f"contract-check-{shard_i}of{shard_n}")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -64,7 +83,16 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = 0
+    # round-robin over the SORTED names: deterministic, and heavy
+    # queries (clustered by family prefix) spread across shards
+    shard_names = {
+        name
+        for pos, name in enumerate(sorted(qs))
+        if pos % shard_n == shard_i
+    }
     for name, fn in qs.items():
+        if name not in shard_names:
+            continue
         if only and name not in only:
             continue
         try:
